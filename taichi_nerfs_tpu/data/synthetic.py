@@ -1,0 +1,115 @@
+"""Procedural synthetic scene — the framework's built-in test oracle.
+
+The reference repo ships no automated tests and relies on the NSVF Lego
+download (SURVEY §4); this module generates a tiny analytic scene (a soft
+solid sphere with position-dependent albedo) and renders ground-truth images
+with a *direct dense integrator* that shares no code with the production
+marching/compositing path.  Used by the test-suite and the self-contained
+benchmark when no dataset is on disk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import BaseDataset
+
+
+def look_at(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> np.ndarray:
+    """Camera-to-world with [right down front] axes (OpenCV convention)."""
+    front = target - eye
+    front = front / np.linalg.norm(front)
+    right = np.cross(front, up)
+    right = right / np.linalg.norm(right)
+    down = np.cross(front, right)
+    return np.stack([right, down, front, eye], axis=1).astype(np.float32)
+
+
+def sphere_density(xyz: np.ndarray, radius: float = 0.3, sharp: float = 40.0):
+    r = np.linalg.norm(xyz, axis=-1)
+    return 20.0 / (1.0 + np.exp(sharp * (r - radius)))
+
+
+def sphere_albedo(xyz: np.ndarray) -> np.ndarray:
+    return np.clip(xyz + 0.5, 0.0, 1.0)
+
+
+def render_gt_image(
+    c2w: np.ndarray,
+    K: np.ndarray,
+    w: int,
+    h: int,
+    n_steps: int = 256,
+    scale: float = 0.5,
+    white_bg: bool = True,
+) -> np.ndarray:
+    """Dense (unaccelerated) volume integration oracle."""
+    u, v = np.meshgrid(np.arange(w), np.arange(h))
+    dirs_cam = np.stack(
+        [
+            (u - K[0, 2] + 0.5) / K[0, 0],
+            (v - K[1, 2] + 0.5) / K[1, 1],
+            np.ones_like(u, dtype=np.float64),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    rays_d = dirs_cam @ c2w[:, :3].T
+    rays_o = np.broadcast_to(c2w[:, 3], rays_d.shape)
+
+    t0, t1 = 0.1, 2.5
+    ts = np.linspace(t0, t1, n_steps)
+    dt = ts[1] - ts[0]
+    rgb = np.zeros((rays_o.shape[0], 3))
+    trans = np.ones(rays_o.shape[0])
+    for t in ts:
+        xyz = rays_o + t * rays_d
+        inside = np.all(np.abs(xyz) <= scale, axis=-1)
+        sigma = sphere_density(xyz) * inside
+        alpha = 1.0 - np.exp(-sigma * dt)
+        wgt = alpha * trans
+        rgb += wgt[:, None] * sphere_albedo(xyz)
+        trans *= 1.0 - alpha
+    if white_bg:
+        rgb += trans[:, None]
+    return rgb.astype(np.float32).reshape(h * w, 3)
+
+
+class SyntheticSphereDataset(BaseDataset):
+    """Drop-in dataset (same interface as NSVF/NeRF loaders)."""
+
+    def __init__(
+        self,
+        root_dir: str = "",
+        split: str = "train",
+        downsample: float = 1.0,
+        n_images: int = 12,
+        img_wh=(64, 64),
+        cam_radius: float = 1.2,
+        **kwargs,
+    ):
+        super().__init__(root_dir, split, downsample)
+        w, h = img_wh
+        focal = 0.9 * w
+        self.K = np.array(
+            [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32
+        )
+        self.img_wh = (w, h)
+
+        rng = np.random.RandomState(0 if split == "train" else 1)
+        poses, rays = [], []
+        for i in range(n_images):
+            theta = 2 * np.pi * i / n_images + rng.uniform(0, 0.3)
+            phi = rng.uniform(-0.9, 0.9)
+            eye = cam_radius * np.array(
+                [
+                    np.cos(theta) * np.cos(phi),
+                    np.sin(theta) * np.cos(phi),
+                    np.sin(phi),
+                ]
+            )
+            c2w = look_at(eye, np.zeros(3), np.array([0.0, 0.0, 1.0]))
+            poses.append(c2w)
+            rays.append(render_gt_image(c2w, self.K, w, h))
+        self.poses = np.stack(poses)
+        self.rays = np.stack(rays)
+        self._set_directions()

@@ -1,0 +1,102 @@
+"""Host-side training orchestrator.
+
+Mirrors the reference's driver loop (``train.py:166-219``): density-grid
+refresh every 16 steps with a 256-step warmup, per-step fused train step,
+periodic telemetry (loss / psnr / rays / rm_s / vr_s).  TPU-specific duty:
+adapt the static per-ray sample capacity ``S`` between power-of-two buckets
+as the occupancy grid sparsifies — each bucket is its own cached XLA
+executable; the marcher reports per-ray sample counts so the host can pick
+the smallest bucket that does not truncate.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..models.occupancy import mark_invisible_cells
+from .state import TrainState, create_train_state
+from .step import Batch, density_grid_step, train_step
+
+MIN_CAP = 32
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 1).bit_length()
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        data: Batch,
+        K: np.ndarray,
+        img_wh,
+        state: Optional[TrainState] = None,
+        log_fn=print,
+    ):
+        self.cfg = cfg
+        self.data = data
+        self.log_fn = log_fn
+        self.state = state if state is not None else create_train_state(cfg)
+        # one-time camera-visibility marking (reference: train.py:129-133)
+        occupancy = jax.jit(
+            mark_invisible_cells, static_argnames=("cfg", "img_wh")
+        )(self.cfg.model, K, data.poses, tuple(img_wh))
+        self.state = self.state._replace(occupancy=occupancy)
+        self.sample_cap = cfg.render.train_sample_cap
+        self.step = 0
+        self._pending_counts_max = None
+
+    def _adapt_sample_cap(self):
+        """Resize the marching bucket from the last step's sample counts."""
+        if self._pending_counts_max is None:
+            return
+        counts_max = int(self._pending_counts_max)
+        self._pending_counts_max = None
+        max_cap = self.cfg.render.train_sample_cap
+        if counts_max >= self.sample_cap and self.sample_cap < max_cap:
+            self.sample_cap = min(self.sample_cap * 2, max_cap)
+        else:
+            proposed = max(_next_pow2(counts_max + 1), MIN_CAP)
+            if proposed < self.sample_cap:
+                self.sample_cap = proposed
+
+    def run_step(self):
+        cfg = self.cfg
+        if self.step % cfg.train.update_interval == 0:
+            self.state = density_grid_step(
+                self.state, cfg, warmup=self.step < cfg.train.warmup_steps
+            )
+            self._adapt_sample_cap()
+        self.state, metrics = train_step(
+            self.state, self.data, cfg, self.sample_cap
+        )
+        self._pending_counts_max = metrics["counts_max"]
+        self.step += 1
+        return metrics
+
+    def fit(self, max_steps: Optional[int] = None, log_every: int = 1000):
+        max_steps = max_steps or self.cfg.train.max_steps
+        tic = time.time()
+        metrics = None
+        n_rays = self.cfg.train.batch_size
+        for _ in range(max_steps + 1):
+            metrics = self.run_step()
+            step = self.step - 1
+            if step % log_every == 0:
+                m = jax.device_get(metrics)
+                self.log_fn(
+                    f"elapsed_time={time.time() - tic:.2f}s | "
+                    f"step={step} | psnr={float(m['psnr']):.2f} | "
+                    f"loss={float(m['loss']):.6f} | "
+                    f"rays={n_rays} | "
+                    f"rm_s={float(m['rm_samples']) / n_rays:.1f} | "
+                    f"vr_s={float(m['vr_samples']) / n_rays:.1f} | "
+                    f"S={self.sample_cap}"
+                )
+        return metrics

@@ -1,0 +1,68 @@
+"""Image quality metrics in pure JAX (PSNR / SSIM).
+
+The reference relies on ``torchmetrics`` (``train.py:78-84,266-272``); here
+both metrics are jit-compatible jnp functions.  SSIM follows the standard
+Wang et al. formulation with the torchmetrics defaults (11x11 gaussian
+window, sigma 1.5, k1=0.01, k2=0.03, data_range=1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray, data_range: float = 1.0):
+    mse = jnp.mean((pred - gt) ** 2)
+    return -10.0 * jnp.log10(mse / data_range**2)
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+def _filter2d(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise valid-mode 2D convolution.  img: (H, W, C)."""
+    c = img.shape[-1]
+    k = kernel[:, :, None, None]  # (kh, kw, 1, 1)
+    img4 = img[None]  # (1, H, W, C)
+    out = jax.lax.conv_general_dilated(
+        img4,
+        jnp.tile(k, (1, 1, 1, c)),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    return out[0]
+
+
+def ssim(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+):
+    """Mean SSIM over an (H, W, C) image pair."""
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    kernel = _gaussian_kernel(kernel_size, sigma)
+
+    mu_x = _filter2d(pred, kernel)
+    mu_y = _filter2d(gt, kernel)
+    mu_xx = mu_x * mu_x
+    mu_yy = mu_y * mu_y
+    mu_xy = mu_x * mu_y
+    sigma_xx = _filter2d(pred * pred, kernel) - mu_xx
+    sigma_yy = _filter2d(gt * gt, kernel) - mu_yy
+    sigma_xy = _filter2d(pred * gt, kernel) - mu_xy
+
+    num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
+    den = (mu_xx + mu_yy + c1) * (sigma_xx + sigma_yy + c2)
+    return jnp.mean(num / den)

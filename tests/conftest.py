@@ -1,0 +1,59 @@
+"""Test configuration: force CPU with 8 virtual devices (before jax import).
+
+Multi-chip sharding is validated on a virtual CPU mesh
+(``--xla_force_host_platform_device_count``); kernels and the train loop run
+single-device CPU with tiny shapes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from taichi_nerfs_tpu.config import (  # noqa: E402
+    Config,
+    HashGridConfig,
+    ModelConfig,
+    RenderConfig,
+    TrainConfig,
+)
+
+
+@pytest.fixture(scope="session")
+def tiny_config() -> Config:
+    """Small config for CPU tests (grid 32^3, 4 hash levels, thin MLPs)."""
+    model = ModelConfig(
+        scale=0.5,
+        grid=HashGridConfig(
+            levels=4, feature_per_level=2, log2_T=11, base_res=4, max_res=32
+        ),
+        grid_size=32,
+        xyz_net_width=16,
+        rgb_net_width=16,
+        mlp_dtype="float32",
+    )
+    render = RenderConfig(
+        exp_step_factor=0.0,
+        train_sample_cap=256,
+        test_chunk_samples=16,
+        white_bg=True,
+    )
+    train = TrainConfig(
+        batch_size=256,
+        max_steps=200,
+        warmup_steps=40,
+        update_interval=8,
+    )
+    return Config(model=model, render=render, train=train)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
