@@ -1,8 +1,9 @@
-"""Test configuration: force CPU with 8 virtual devices (before jax import).
+"""Test configuration.
 
-Multi-chip sharding is validated on a virtual CPU mesh
-(``--xla_force_host_platform_device_count``); kernels and the train loop run
-single-device CPU with tiny shapes.
+Kernel/model/train tests run on the default platform (the real TPU when one
+is attached, CPU otherwise).  Multi-chip sharding tests run in a subprocess
+on a virtual 8-device CPU mesh (``--xla_force_host_platform_device_count``)
+— see ``test_sharding.py``.
 """
 
 import os
