@@ -1,0 +1,132 @@
+"""CLI flags — public API preserved from the reference (opt.py:4-134).
+
+Every flag the reference exposes is accepted here with the same name,
+default, and choices; ``get_opts`` additionally converts the namespace into
+the framework's typed :class:`taichi_nerfs_tpu.config.Config`.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def get_opts(prefix_args=None):
+    parser = argparse.ArgumentParser()
+
+    # dataset parameters
+    parser.add_argument("--root_dir", type=str, required=True,
+                        help="root directory of dataset")
+    parser.add_argument("--dataset_name", type=str, default="nsvf",
+                        choices=["nerf", "nsvf", "colmap", "ngp", "synthetic"],
+                        help="which dataset to train/test")
+    parser.add_argument("--split", type=str, default="train",
+                        choices=["train", "trainval", "trainvaltest"],
+                        help="use which split to train")
+    parser.add_argument("--downsample", type=float, default=1.0,
+                        help="downsample factor (<=1.0) for the images")
+
+    # model parameters
+    parser.add_argument("--model_name", type=str, default="ngp",
+                        choices=["ngp", "svox"],
+                        help="which model to train/test")
+    parser.add_argument("--scale", type=float, default=0.5,
+                        help="scene scale (whole scene must lie in "
+                             "[-scale, scale]^3")
+    parser.add_argument("--half_opt", action="store_true", default=False,
+                        help="half-precision (bf16) hash table")
+    parser.add_argument("--encoder_type", type=str, default="hash",
+                        choices=["hash", "triplane"],
+                        help="which encoder to use")
+    parser.add_argument("--sh_degree", type=int, default=2,
+                        help="degree of spherical harmonics (svox)")
+    parser.add_argument("--grid_size", type=int, default=256,
+                        help="size of voxel grid in each dimension (svox)")
+    parser.add_argument("--grid_radius", type=float, default=0.0125,
+                        help="radius of voxel grid points (svox)")
+    parser.add_argument("--origin_sh", type=float, default=0.0,
+                        help="initial sh coeff value in voxel grid (svox)")
+    parser.add_argument("--origin_sigma", type=float, default=0.1,
+                        help="initial sigma value in voxel grid (svox)")
+
+    # loss parameters
+    parser.add_argument("--distortion_loss_w", type=float, default=0,
+                        help="weight of distortion loss; 0 disables; good "
+                             "values: 1e-3 (real), 1e-2 (synthetic)")
+
+    # training options
+    parser.add_argument("--batch_size", type=int, default=8192,
+                        help="number of rays in a batch")
+    parser.add_argument("--ray_sampling_strategy", type=str,
+                        default="all_images",
+                        choices=["all_images", "same_image"])
+    parser.add_argument("--max_steps", type=int, default=20000,
+                        help="number of steps to train")
+    parser.add_argument("--lr", type=float, default=1e-2,
+                        help="learning rate")
+    parser.add_argument("--random_bg", action="store_true", default=False,
+                        help="train with random bg color (real scenes)")
+
+    # misc
+    parser.add_argument("--exp_name", type=str, default="exp",
+                        help="experiment name")
+    parser.add_argument("--gpu", type=int, default=0,
+                        help="device index (kept for API compat)")
+    parser.add_argument("--num_devices", type=int, default=0,
+                        help="data-parallel devices (0 = all available)")
+    parser.add_argument("--ckpt_path", type=str, default=None,
+                        help="checkpoint to load (params + optimizer + grid)")
+    parser.add_argument("--gui", action="store_true", default=False,
+                        help="open the interactive viewer after training")
+    parser.add_argument("--val_only", action="store_true", default=False,
+                        help="skip training; evaluate a checkpoint")
+    # deployment
+    parser.add_argument("--deployment", action="store_true", default=False)
+    parser.add_argument("--deployment_model_path", type=str, default="./")
+
+    return parser.parse_args(prefix_args)
+
+
+def config_from_opts(hparams):
+    """Mirror the reference's config selection (train.py:54,87-117)."""
+    from taichi_nerfs_tpu.config import (
+        RenderConfig,
+        TrainConfig,
+        config_for_scene,
+        deployment_model_config,
+    )
+
+    cfg = config_for_scene(
+        scale=hparams.scale,
+        root_dir=hparams.root_dir,
+        dataset_name=hparams.dataset_name,
+        split=hparams.split,
+        downsample=hparams.downsample,
+        exp_name=hparams.exp_name,
+        ckpt_path=hparams.ckpt_path,
+    )
+    if hparams.deployment:
+        cfg = cfg.replace(model=deployment_model_config(hparams.scale))
+    model = cfg.model.replace(
+        name=hparams.model_name,
+        pos_encoder_type=hparams.encoder_type,
+        mlp_dtype="bfloat16" if hparams.half_opt else cfg.model.mlp_dtype,
+        voxel_grid_size=hparams.grid_size,
+        voxel_radius=hparams.grid_radius,
+        voxel_sh_degree=hparams.sh_degree,
+        voxel_origin_sh=hparams.origin_sh,
+        voxel_origin_sigma=hparams.origin_sigma,
+    )
+    exp_step_factor = 1 / 256 if hparams.scale > 0.5 else 0.0
+    render = RenderConfig(
+        exp_step_factor=exp_step_factor,
+        white_bg=(exp_step_factor == 0.0),
+        random_bg=hparams.random_bg,
+    )
+    train = TrainConfig(
+        batch_size=hparams.batch_size,
+        max_steps=hparams.max_steps,
+        lr=hparams.lr,
+        distortion_loss_w=hparams.distortion_loss_w,
+        ray_sampling_strategy=hparams.ray_sampling_strategy,
+    )
+    return cfg.replace(model=model, render=render, train=train)

@@ -64,11 +64,19 @@ class ModelConfig:
     """NGP model configuration (reference: modules/networks.py:35-52,
     train.py:87-107)."""
 
+    name: str = "ngp"  # model family: {"ngp", "svox"}
     scale: float = 0.5
     pos_encoder_type: str = "hash"  # {"hash", "triplane"}
     grid: HashGridConfig = HashGridConfig()
     triplane: TriPlaneConfig = TriPlaneConfig()
     grid_size: int = 128
+    # svox (dense SH voxel grid) family (reference: networks.py:382-434,
+    # opt.py:51-74)
+    voxel_grid_size: int = 256
+    voxel_radius: float = 0.0125
+    voxel_sh_degree: int = 2
+    voxel_origin_sh: float = 0.0
+    voxel_origin_sigma: float = 0.1
     xyz_net_width: int = 64
     xyz_net_depth: int = 1
     xyz_net_out_dim: int = 16

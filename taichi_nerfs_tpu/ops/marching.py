@@ -2,26 +2,35 @@
 
 Rebuild of the reference's irregular Taichi marching kernels
 (``modules/ray_march.py:8-334``).  The reference marches each ray in its own
-GPU thread with data-dependent while-loops, two passes, and atomic stream
-compaction into a packed slab.  None of that maps to XLA, so the design here
-is different:
+GPU thread: data-dependent while-loops, DDA empty-space skips, two passes,
+and atomic stream compaction into a packed slab.  None of that maps to XLA.
 
-* **One vectorized event loop.**  A single ``lax.while_loop`` advances *all*
-  rays together; each iteration a ray either takes one occupied sample or
-  performs one empty-space skip.  The reference's inner skip loop
-  ("``t += dt`` until past the DDA cell boundary", ``ray_march.py:66-74``)
-  is replaced by a closed-form jump over the three step-size regimes of
-  ``calc_dt`` — same sampling distribution, O(1) per skip.
+The TPU-native design is **probe-everything, then compact**:
 
-* **Dense fixed-shape output.**  Samples land in a dense ``(N_rays, S)``
-  grid (t, dt, validity-by-count) instead of the reference's packed
-  ``rays_a``/flat-slab layout (``ray_march.py:76-81``) — static shapes XLA
-  can fuse, no atomics, deterministic.
+1.  Every ray's step lattice ``t_0 = t_near, t_{k+1} = t_k + calc_dt(t_k)``
+    has a *closed form* (``calc_dt`` is a clamped linear function of ``t``,
+    so the lattice is: constant ``dt_min`` steps, then geometric growth,
+    then constant ``dt_max`` steps).  We materialize all K candidate
+    positions per ray at once — no sequential dependence.
+2.  One vectorized morton/bitfield probe classifies all ``N x K``
+    candidates (a single fused gather — measured ~0.05 ms for 9.4M probes
+    on v5e, versus ~6-16 us *per while-loop iteration* for an event loop).
+3.  ``lax.top_k`` compacts the first ``S`` occupied candidates per ray into
+    a dense ``(N, S)`` sample grid + counts.
+
+Fidelity: for constant-dt scenes (``exp_step_factor == 0``, all synthetic
+runs) the reference's skip logic advances by integer multiples of ``dt``, so
+its entire trajectory lives on the same lattice — the probe marcher selects
+*exactly* the same sample set (``ray_march.py:45-74``).  For exponential
+stepping the lattice phase after a skip differs slightly (the reference
+re-steps from the DDA boundary), but the sampling density in occupied space
+— ``calc_dt(t)`` everywhere — is identical.
 
 The same marcher serves training (fresh ``t`` from the AABB hit, perturbed
-first sample) and the test renderer (resumable: marches up to ``S`` samples
-from a carried ``t``, returns the final ``t`` like the reference's in-place
-``hits_t`` update, ``ray_march.py:250-258``).
+first sample, ``ray_march.py:38-40``) and the test renderer (resumable:
+marches a window of candidates from a carried ``t`` and returns where it
+stopped, like the reference's in-place ``hits_t`` update,
+``ray_march.py:250-258``).
 """
 
 from __future__ import annotations
@@ -48,48 +57,111 @@ class MarchResult(NamedTuple):
     ts: jnp.ndarray  # (N, S) sample midpoints
     deltas: jnp.ndarray  # (N, S) sample intervals
     counts: jnp.ndarray  # (N,) int32 number of valid samples per ray
-    t_final: jnp.ndarray  # (N,) marching position when the loop ended
+    t_final: jnp.ndarray  # (N,) marching position when the window ended
 
 
-def _advance_past(
-    t: jnp.ndarray,
-    t_target: jnp.ndarray,
+def num_candidates(
+    scale: float,
     exp_step_factor: float,
-    dt_min: float,
-    dt_max: float,
-) -> jnp.ndarray:
-    """Advance ``t`` by repeated ``calc_dt`` steps until >= ``t_target``.
-
-    Closed-form replacement for the reference's iterated adds
-    (``ray_march.py:72-74``): always takes at least one step, then jumps
-    through the constant-min, geometric, and constant-max regimes of the
-    step schedule analytically.
-    """
-    t = t + jnp.clip(t * exp_step_factor, dt_min, dt_max)
+    grid_size: int = 128,
+    near: float = 0.01,
+) -> int:
+    """Static candidate-window size K covering a full AABB traversal."""
+    dt_min = SQRT3_MAX_SAMPLES
+    dt_max = SQRT3_2 * scale / grid_size
+    span = 2.0 * math.sqrt(3.0) * scale
     if exp_step_factor == 0.0:
-        n = jnp.ceil(jnp.maximum(t_target - t, 0.0) / dt_min)
-        t = t + n * dt_min
-    else:
-        # regime 1: t * f < dt_min -> constant dt_min steps
-        t_lo_end = dt_min / exp_step_factor
-        n1 = jnp.ceil(
-            jnp.maximum(jnp.minimum(t_target, t_lo_end) - t, 0.0) / dt_min
+        return int(math.ceil(span / dt_min)) + 8
+    # constant-min regime + geometric regime + slack
+    t_lo_end = dt_min / exp_step_factor
+    n1 = int(math.ceil(max(t_lo_end - near, 0.0) / dt_min))
+    t_start_geo = max(near, t_lo_end)
+    n2 = int(
+        math.ceil(
+            math.log(max((near + span) / t_start_geo, 1.0 + 1e-6))
+            / math.log1p(exp_step_factor)
         )
-        t = t + n1 * dt_min
-        # regime 2: geometric growth t <- t * (1 + f)
-        t_hi_end = dt_max / exp_step_factor
-        tgt2 = jnp.minimum(t_target, t_hi_end)
-        ratio = jnp.maximum(tgt2 / jnp.maximum(t, 1e-30), 1.0)
-        n2 = jnp.ceil(jnp.log(ratio) / math.log1p(exp_step_factor))
-        t = t * jnp.exp(n2 * math.log1p(exp_step_factor))
-        # regime 3: constant dt_max steps
-        n3 = jnp.ceil(jnp.maximum(t_target - t, 0.0) / dt_max)
-        t = t + n3 * dt_max
-        # fp fix-up: guarantee we ended past the target
-        t = jnp.where(
-            t < t_target, t + jnp.clip(t * exp_step_factor, dt_min, dt_max), t
-        )
-    return t
+    )
+    n3 = int(math.ceil(span / dt_max)) + 8
+    return n1 + n2 + min(n3, 4096)
+
+
+def candidate_lattice(
+    t_start: jnp.ndarray,
+    n_candidates: int,
+    exp_step_factor: float,
+    grid_size: int,
+    scale: float,
+):
+    """Closed-form step lattice: (N, K) candidate ``t``s and their ``dt``s.
+
+    Reproduces iterated ``t += calc_dt(t, ...)`` (modules/utils.py:54-57)
+    without the sequential dependence.
+    """
+    dt_min = SQRT3_MAX_SAMPLES
+    dt_max = SQRT3_2 * scale / grid_size
+    k = jnp.arange(n_candidates, dtype=jnp.float32)[None, :]  # (1, K)
+    t1 = t_start[:, None]  # (N, 1)
+    if exp_step_factor == 0.0:
+        ts = t1 + k * dt_min
+        dts = jnp.full_like(ts, dt_min)
+        return ts, dts
+
+    f = exp_step_factor
+    log1pf = math.log1p(f)
+    t_lo_end = dt_min / f  # below this t the step clamps to dt_min
+    t_hi_end = dt_max / f  # above this t the step clamps to dt_max
+
+    # regime 1: n1 constant dt_min steps until t >= t_lo_end
+    n1 = jnp.ceil(jnp.maximum(t_lo_end - t1, 0.0) / dt_min)
+    t_geo0 = t1 + n1 * dt_min  # first t in the geometric regime
+    # regime 2: n2 geometric steps t <- t * (1 + f) until t > t_hi_end
+    n2 = jnp.ceil(
+        jnp.log(jnp.maximum(t_hi_end / jnp.maximum(t_geo0, 1e-30), 1.0))
+        / log1pf
+    )
+    t_hi0 = t_geo0 * jnp.exp(n2 * log1pf)  # first t in the constant-max regime
+
+    in_r1 = k < n1
+    in_r2 = (~in_r1) & (k < n1 + n2)
+    ts = jnp.where(
+        in_r1,
+        t1 + k * dt_min,
+        jnp.where(
+            in_r2,
+            t_geo0 * jnp.exp((k - n1) * log1pf),
+            t_hi0 + (k - n1 - n2) * dt_max,
+        ),
+    )
+    dts = jnp.clip(ts * f, dt_min, dt_max)
+    return ts, dts
+
+
+def occupancy_probe(
+    xyz: jnp.ndarray,
+    dt: jnp.ndarray,
+    bitfield: jnp.ndarray,
+    cascades: int,
+    grid_size: int,
+    scale: float,
+) -> jnp.ndarray:
+    """Vectorized cascade pick + morton bitfield probe.
+
+    Step-for-step the reference's per-sample logic
+    (``ray_march.py:46-61``): cascade = max(mip_from_pos, mip_from_dt),
+    position normalized into the cascade's cube, morton-indexed bit test.
+    """
+    mip = jnp.maximum(
+        mip_from_pos(xyz, cascades), mip_from_dt(dt, grid_size, cascades)
+    )
+    mip_bound = jnp.minimum(jnp.exp2(mip.astype(jnp.float32) - 1.0), scale)
+    nxyz = jnp.clip(
+        0.5 * (xyz / mip_bound[..., None] + 1.0) * grid_size,
+        0.0,
+        grid_size - 1.0,
+    )
+    idx = mip * (grid_size**3) + morton3d(nxyz.astype(jnp.uint32))
+    return bitfield_test(bitfield, idx)
 
 
 @partial(
@@ -100,7 +172,7 @@ def _advance_past(
         "exp_step_factor",
         "grid_size",
         "sample_cap",
-        "max_iters",
+        "n_candidates",
     ),
 )
 def march_rays(
@@ -115,14 +187,9 @@ def march_rays(
     exp_step_factor: float,
     grid_size: int,
     sample_cap: int,
-    max_iters: int,
+    n_candidates: int | None = None,
 ) -> MarchResult:
     """March all rays through the occupancy grid, collecting samples.
-
-    Marching math is step-for-step the reference's
-    (``ray_march.py:45-74``): step size ``calc_dt``, cascade pick
-    ``max(mip_from_pos, mip_from_dt)``, morton-indexed bitfield probe, DDA
-    skip to the next cell boundary on miss.
 
     Args:
         rays_o, rays_d: (N, 3).
@@ -130,67 +197,53 @@ def march_rays(
         t_end: (N,) AABB exit.
         bitfield: (cascades * grid_size**3 // 32,) uint32 occupancy.
         sample_cap: S, per-ray sample capacity of the dense output.
-        max_iters: static bound on marching events (samples + skips).
+        n_candidates: K, static probe-window length (defaults to a full
+            AABB traversal).
     """
+    if n_candidates is None:
+        n_candidates = num_candidates(scale, exp_step_factor)
     n = rays_o.shape[0]
-    dt_min = SQRT3_MAX_SAMPLES
-    dt_max = SQRT3_2 * scale / grid_size
-    grid_size3 = grid_size**3
-    d_inv = 1.0 / rays_d
-    rows = jnp.arange(n, dtype=jnp.int32)
+    K = n_candidates
 
-    def cond(state):
-        it, t, cnt, _, _ = state
-        active = (t >= 0.0) & (t < t_end) & (cnt < sample_cap)
-        return (it < max_iters) & jnp.any(active)
-
-    def body(state):
-        it, t, cnt, ts_buf, deltas_buf = state
-        active = (t >= 0.0) & (t < t_end) & (cnt < sample_cap)
-
-        xyz = rays_o + t[:, None] * rays_d
-        dt = calc_dt(t, exp_step_factor, grid_size, scale)
-        mip = jnp.maximum(
-            mip_from_pos(xyz, cascades), mip_from_dt(dt, grid_size, cascades)
-        )
-        mip_bound = jnp.minimum(
-            jnp.exp2(mip.astype(jnp.float32) - 1.0), scale
-        )
-        nxyz = jnp.clip(
-            0.5 * (xyz / mip_bound[:, None] + 1.0) * grid_size,
-            0.0,
-            grid_size - 1.0,
-        )
-        idx = mip * grid_size3 + morton3d(nxyz.astype(jnp.uint32))
-        occ = bitfield_test(bitfield, idx) & active
-
-        # occupied: record the sample and step forward
-        col = jnp.where(occ, cnt, sample_cap)  # cap -> dropped
-        ts_buf = ts_buf.at[rows, col].set(t, mode="drop")
-        deltas_buf = deltas_buf.at[rows, col].set(dt, mode="drop")
-        cnt = cnt + occ.astype(jnp.int32)
-
-        # empty: skip to the next cell boundary (reference ray_march.py:66-74)
-        cell_exit = (
-            ((nxyz + 0.5 + 0.5 * jnp.sign(rays_d)) * (2.0 / grid_size) - 1.0)
-            * mip_bound[:, None]
-            - xyz
-        ) * d_inv
-        t_target = t + jnp.maximum(0.0, jnp.min(cell_exit, axis=-1))
-        t_skip = _advance_past(t, t_target, exp_step_factor, dt_min, dt_max)
-
-        t = jnp.where(active, jnp.where(occ, t + dt, t_skip), t)
-        return it + 1, t, cnt, ts_buf, deltas_buf
-
-    init = (
-        jnp.int32(0),
-        t_start,
-        jnp.zeros(n, jnp.int32),
-        jnp.zeros((n, sample_cap), jnp.float32),
-        jnp.zeros((n, sample_cap), jnp.float32),
+    ts_cand, dts_cand = candidate_lattice(
+        t_start, K, exp_step_factor, grid_size, scale
+    )  # (N, K)
+    live = (t_start >= 0.0)[:, None] & (ts_cand < t_end[:, None])
+    xyz = rays_o[:, None, :] + ts_cand[..., None] * rays_d[:, None, :]
+    occ = occupancy_probe(
+        xyz, dts_cand, bitfield, cascades, grid_size, scale
     )
-    _, t, cnt, ts_buf, deltas_buf = jax.lax.while_loop(cond, body, init)
-    return MarchResult(ts=ts_buf, deltas=deltas_buf, counts=cnt, t_final=t)
+    occ = occ & live
+
+    # compact: first S occupied candidates per ray (ascending k)
+    k_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
+    key = jnp.where(occ, K - k_idx, 0)  # larger key == earlier candidate
+    s_eff = min(sample_cap, K)
+    top_keys, _ = jax.lax.top_k(key, s_eff)  # (N, s_eff) descending
+    if s_eff < sample_cap:  # window shorter than the cap: pad invalid slots
+        top_keys = jnp.pad(top_keys, ((0, 0), (0, sample_cap - s_eff)))
+    valid = top_keys > 0
+    sel = jnp.where(valid, K - top_keys, 0)  # (N, S) candidate indices
+    ts = jnp.take_along_axis(ts_cand, sel, axis=1)
+    deltas = jnp.take_along_axis(dts_cand, sel, axis=1)
+    ts = jnp.where(valid, ts, 0.0)
+    deltas = jnp.where(valid, deltas, 0.0)
+    counts = jnp.minimum(jnp.sum(occ, axis=1), sample_cap).astype(jnp.int32)
+
+    # resume point: after the S-th sample if the cap was hit, else after the
+    # candidate window (clipped at the AABB exit)
+    capped = counts >= sample_cap
+    last = jnp.maximum(counts - 1, 0)
+    t_after_cap = (
+        jnp.take_along_axis(ts, last[:, None], axis=1)[:, 0]
+        + jnp.take_along_axis(deltas, last[:, None], axis=1)[:, 0]
+    )
+    t_window_end = jnp.minimum(
+        ts_cand[:, -1] + dts_cand[:, -1], t_end
+    )
+    t_final = jnp.where(capped, t_after_cap, t_window_end)
+    t_final = jnp.where(t_start >= 0.0, t_final, t_start)
+    return MarchResult(ts=ts, deltas=deltas, counts=counts, t_final=t_final)
 
 
 def perturb_t_start(

@@ -1,0 +1,6 @@
+from .mesh import DATA_AXIS, make_mesh, ray_sharded, replicated  # noqa: F401
+from .shard import (  # noqa: F401
+    make_sharded_train_step,
+    shard_batch,
+    shard_state,
+)

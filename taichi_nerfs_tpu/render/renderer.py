@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config, ModelConfig, RenderConfig
-from ..models import ngp
+from ..models.registry import get_model
 from ..ops.composite import (
     apply_background,
     composite_test_round,
@@ -77,12 +77,11 @@ def render_train(
         exp_step_factor=rcfg.exp_step_factor,
         grid_size=mcfg.grid_size,
         sample_cap=sample_cap,
-        max_iters=sample_cap + 4 * mcfg.grid_size,
     )
     valid = valid_mask(march.counts, sample_cap)
     xyzs = sample_positions(rays_o, rays_d, march.ts)
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
-    sigmas, rgbs = ngp.forward(params, mcfg, xyzs, dirs)
+    sigmas, rgbs = get_model(mcfg.name).forward(params, mcfg, xyzs, dirs)
     comp = composite_train(
         sigmas, rgbs, march.deltas, march.ts, valid, rcfg.t_threshold
     )
@@ -129,6 +128,10 @@ def render_test_chunk(
         rnd, _, alive, *_ = state
         return (rnd < max_rounds) & jnp.any(alive)
 
+    # per-round probe window: wide enough that a round rarely comes home
+    # empty-handed, small enough to keep the probe cheap
+    window = max(8 * s_seg, 256)
+
     def body(state):
         rnd, t_cur, alive, opacity, depth, rgb, total = state
         t_in = jnp.where(alive, t_cur, -1.0)
@@ -143,12 +146,12 @@ def render_test_chunk(
             exp_step_factor=rcfg.exp_step_factor,
             grid_size=mcfg.grid_size,
             sample_cap=s_seg,
-            max_iters=s_seg + 4 * mcfg.grid_size,
+            n_candidates=window,
         )
         valid = valid_mask(march.counts, s_seg)
         xyzs = sample_positions(rays_o, rays_d, march.ts)
         dirs = jnp.broadcast_to(rays_d[:, None, :], xyzs.shape)
-        sigmas, rgbs = ngp.forward(params, mcfg, xyzs, dirs)
+        sigmas, rgbs = get_model(mcfg.name).forward(params, mcfg, xyzs, dirs)
         sigmas = jnp.where(valid, sigmas, 0.0)
         opacity, depth, rgb, converged = composite_test_round(
             sigmas,
@@ -161,9 +164,9 @@ def render_test_chunk(
             depth,
             rgb,
         )
-        # kill rays that produced no samples (exhausted) or converged
+        # kill rays that exhausted the AABB or converged
         # (reference: rendering.py:143-144, volume_render_test.py:29-37)
-        alive = alive & (march.counts > 0) & (~converged)
+        alive = alive & (march.t_final < t_end) & (~converged)
         t_cur = jnp.where(alive, march.t_final, t_cur)
         total = total + jnp.sum(march.counts)
         return rnd + 1, t_cur, alive, opacity, depth, rgb, total

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import Config
-from ..models.ngp import init_ngp_params
+from ..models.registry import get_model
 from ..models.occupancy import OccupancyGrid, init_occupancy
 
 
@@ -40,7 +40,7 @@ def create_train_state(cfg: Config, seed: int | None = None) -> TrainState:
     seed = cfg.train.seed if seed is None else seed
     key = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(key)
-    params = init_ngp_params(k_init, cfg.model)
+    params = get_model(cfg.model.name).init_params(k_init, cfg.model)
     opt_state = make_optimizer(cfg).init(params)
     return TrainState(
         params=params,

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import Config
-from ..models import ngp
+from ..models.registry import get_model
 from ..models.occupancy import update_density_grid
 from ..ops.distortion import distortion_loss
 from ..ops.rays import get_rays
@@ -130,7 +130,7 @@ def density_grid_step(
     occupancy = update_density_grid(
         state.params,
         cfg.model,
-        ngp.density,
+        get_model(cfg.model.name).density,
         state.occupancy,
         key,
         cfg.train.density_threshold(),

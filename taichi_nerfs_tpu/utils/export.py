@@ -1,0 +1,145 @@
+"""Deployment export: npy dict + tagged binary weight format.
+
+Rebuild of the reference's two export stages:
+
+* ``save_deployment_model`` (``modules/utils.py:230-253``) — a
+  ``deployment.npy`` dict of poses, density bitfield (uint8 layout), flat
+  hash table, per-level scale, and flattened MLP weights in *torch* layout
+  (out, in), with the rgb output matrix zero-padded from 13x16... to a
+  square 16x16 (``utils.py:231-233``);
+* ``save_aot_weights`` (``deployment/InstantNGP/taichi_ngp/taichi_ngp.py:34-64``)
+  — per-tensor ``.bin`` files with an ``int32(dtype_tag) int32(count)``
+  header followed by the raw little-endian buffer.  Tags: 0=f32, 1=f16,
+  2=i32, 3=i16, 4=u32, 5=u16.  The native runner in ``native/`` parses this
+  format.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..ops.hash_encoder import build_layout
+from ..ops.math import bitfield_to_u8
+
+DTYPE_TAGS = {
+    np.dtype(np.float32): 0,
+    np.dtype(np.float16): 1,
+    np.dtype(np.int32): 2,
+    np.dtype(np.int16): 3,
+    np.dtype(np.uint32): 4,
+    np.dtype(np.uint16): 5,
+}
+
+
+def _torch_layout(w: np.ndarray) -> np.ndarray:
+    """Our linear weights are (in, out); the reference exports torch's
+    (out, in)."""
+    return np.ascontiguousarray(w.T)
+
+
+def deployment_dict(
+    params, cfg: ModelConfig, occupancy_bitfield, poses
+) -> Dict[str, np.ndarray]:
+    """Assemble the ``deployment.npy`` payload (utils.py:230-253)."""
+    layout = build_layout(cfg.grid)
+    xyz_w = [
+        _torch_layout(np.asarray(params["xyz_mlp"][f"w{i}"], np.float32))
+        for i in range(cfg.xyz_net_depth + 1)
+    ]
+    rgb_w = [
+        _torch_layout(np.asarray(params["rgb_mlp"][f"w{i}"], np.float32))
+        for i in range(cfg.rgb_net_depth + 1)
+    ]
+    # square-pad the rgb output matrix (3, W) -> (W, W) with zero rows
+    out = rgb_w[-1]
+    pad = np.zeros((out.shape[1] - out.shape[0], out.shape[1]), np.float32)
+    rgb_w[-1] = np.concatenate([out, pad], axis=0)
+
+    return {
+        "poses": np.asarray(poses, np.float32),
+        "model.density_bitfield": np.asarray(
+            bitfield_to_u8(occupancy_bitfield)
+        ),
+        "model.hash_encoder.params": np.asarray(
+            params["hash_table"], np.float32
+        ).reshape(-1),
+        "model.per_level_scale": np.float32(layout.log_b),
+        "model.xyz_encoder.params": np.concatenate(
+            [w.reshape(-1) for w in xyz_w]
+        ),
+        "model.rgb_net.params": np.concatenate(
+            [w.reshape(-1) for w in rgb_w]
+        ),
+    }
+
+
+def save_deployment_model(params, cfg: ModelConfig, occupancy_bitfield,
+                          poses, save_dir: str) -> str:
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, "deployment.npy")
+    np.save(path, deployment_dict(params, cfg, occupancy_bitfield, poses))
+    return path
+
+
+def save_tagged_binary(path: str, arr: np.ndarray):
+    """Write one tensor in the tagged .bin format (taichi_ngp.py:34-64)."""
+    arr = np.ascontiguousarray(arr)
+    tag = DTYPE_TAGS.get(arr.dtype)
+    if tag is None:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    header = np.array([tag, arr.size], np.int32)
+    with open(path, "wb") as f:
+        f.write(header.tobytes())
+        f.write(arr.reshape(-1).tobytes())
+
+
+def load_tagged_binary(path: str) -> np.ndarray:
+    """Parse the tagged .bin format (inverse of :func:`save_tagged_binary`)."""
+    inv = {v: k for k, v in DTYPE_TAGS.items()}
+    with open(path, "rb") as f:
+        tag, count = np.frombuffer(f.read(8), np.int32)
+        data = np.frombuffer(f.read(), inv[int(tag)])
+    assert data.size == count, f"{path}: {data.size} != {count}"
+    return data
+
+
+def export_aot_weights(
+    deployment: Dict[str, np.ndarray],
+    out_dir: str,
+    pose_index: int = 20,
+    directions: np.ndarray | None = None,
+):
+    """Write the per-tensor .bin weight set the native runner consumes
+    (taichi_ngp.py:66-88)."""
+    os.makedirs(out_dir, exist_ok=True)
+    save_tagged_binary(
+        os.path.join(out_dir, "hash_embedding.bin"),
+        deployment["model.hash_encoder.params"].astype(np.float32),
+    )
+    save_tagged_binary(
+        os.path.join(out_dir, "sigma_weights.bin"),
+        deployment["model.xyz_encoder.params"].astype(np.float32),
+    )
+    save_tagged_binary(
+        os.path.join(out_dir, "rgb_weights.bin"),
+        deployment["model.rgb_net.params"].astype(np.float32),
+    )
+    save_tagged_binary(
+        os.path.join(out_dir, "density_bitfield.bin"),
+        deployment["model.density_bitfield"].view(np.uint32),
+    )
+    poses = deployment["poses"]
+    pose_index = min(pose_index, len(poses) - 1)
+    save_tagged_binary(
+        os.path.join(out_dir, "pose.bin"),
+        poses[pose_index].astype(np.float32).reshape(3, 4),
+    )
+    if directions is not None:
+        save_tagged_binary(
+            os.path.join(out_dir, "directions.bin"),
+            directions.astype(np.float32),
+        )

@@ -15,8 +15,13 @@ if "host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# persistent XLA compilation cache: repeat pytest runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from taichi_nerfs_tpu.config import (  # noqa: E402
     Config,
@@ -55,6 +60,7 @@ def tiny_config() -> Config:
     return Config(model=model, render=render, train=train)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream
     return np.random.RandomState(0)

@@ -59,4 +59,4 @@ def test_distortion_grads(rng):
     def f(w):
         return jnp.sum(distortion_loss(w, deltas, ts, valid))
 
-    check_grads(f, (ws,), order=1, modes=("rev",), rtol=1e-2)
+    check_grads(f, (ws,), order=1, modes=("rev",), rtol=0.1, atol=1e-2, eps=1e-2)

@@ -78,7 +78,7 @@ def test_hash_encode_table_grads():
     def f(t):
         return jnp.sum(hash_encode(t, xyz, layout) ** 2)
 
-    check_grads(f, (table,), order=1, modes=("rev",), rtol=1e-2)
+    check_grads(f, (table,), order=1, modes=("rev",), rtol=0.1, atol=1e-2, eps=1e-2)
 
 
 def test_layout_matches_reference_sizing():
@@ -112,4 +112,4 @@ def test_triplane_grads():
     def f(t):
         return jnp.sum(triplane_encode(t, xyz, cfg))
 
-    check_grads(f, (table,), order=1, modes=("rev",), rtol=1e-2)
+    check_grads(f, (table,), order=1, modes=("rev",), rtol=0.1, atol=1e-2, eps=1e-2)

@@ -49,7 +49,6 @@ def _march(rays_o, rays_d, bitfield, cap=256, exp_step_factor=0.0):
         exp_step_factor=exp_step_factor,
         grid_size=GRID,
         sample_cap=cap,
-        max_iters=cap + 4 * GRID,
     ), hits
 
 
@@ -140,13 +139,13 @@ def test_march_resumable():
         grid_size=GRID,
     )
     full = march_rays(
-        o, d, hits[:, 0], hits[:, 1], bf, sample_cap=16, max_iters=100, **kw
+        o, d, hits[:, 0], hits[:, 1], bf, sample_cap=16, **kw
     )
     seg1 = march_rays(
-        o, d, hits[:, 0], hits[:, 1], bf, sample_cap=8, max_iters=100, **kw
+        o, d, hits[:, 0], hits[:, 1], bf, sample_cap=8, **kw
     )
     seg2 = march_rays(
-        o, d, seg1.t_final, hits[:, 1], bf, sample_cap=8, max_iters=100, **kw
+        o, d, seg1.t_final, hits[:, 1], bf, sample_cap=8, **kw
     )
     ts_full = np.asarray(full.ts[0][:16])
     ts_seg = np.concatenate(
