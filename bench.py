@@ -22,7 +22,19 @@ def main():
     from taichi_nerfs_tpu.train import Trainer
 
     cfg = config_for_scene(scale=0.5)
-    scene = SyntheticSphereDataset(n_images=16, img_wh=(128, 128))
+    # cache the oracle-rendered scene (single-core numpy, ~1 min to build)
+    import os
+
+    import numpy as np
+
+    cache = "/tmp/tnerf_bench_scene_v1.npz"
+    if os.path.exists(cache):
+        scene = SyntheticSphereDataset(n_images=1, img_wh=(128, 128))
+        data = np.load(cache)
+        scene.rays, scene.poses = data["rays"], data["poses"]
+    else:
+        scene = SyntheticSphereDataset(n_images=16, img_wh=(128, 128))
+        np.savez(cache, rays=scene.rays, poses=scene.poses)
     trainer = Trainer(
         cfg, scene.as_batch(), scene.K, scene.img_wh, log_fn=lambda *_: None
     )

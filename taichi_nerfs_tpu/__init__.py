@@ -8,7 +8,27 @@ driver, interactive viewer, deployment export, and ray-parallel multi-chip
 scaling via jax.sharding.
 """
 
-from .config import (
+import os as _os
+
+
+def _setup_compilation_cache():
+    """Persistent XLA compilation cache: repeat invocations of the CLI /
+    bench / tests skip recompiles (30-120 s each on a tunneled TPU).
+    Opt out with TNERF_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("TNERF_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("TNERF_COMPILE_CACHE", "/tmp/jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+_setup_compilation_cache()
+
+from .config import (  # noqa: E402
     Config,
     HashGridConfig,
     ModelConfig,

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.rays import get_ray_directions
+from ..ops.rays import get_ray_directions_np
 
 
 class BaseDataset:
@@ -27,9 +27,7 @@ class BaseDataset:
 
     def _set_directions(self):
         w, h = self.img_wh
-        self.directions = np.asarray(
-            get_ray_directions(h, w, self.K), np.float32
-        )
+        self.directions = get_ray_directions_np(h, w, self.K)
 
     def __len__(self) -> int:
         return len(self.poses)

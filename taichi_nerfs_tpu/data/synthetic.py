@@ -57,20 +57,21 @@ def render_gt_image(
     rays_o = np.broadcast_to(c2w[:, 3], rays_d.shape)
 
     t0, t1 = 0.1, 2.5
-    ts = np.linspace(t0, t1, n_steps)
-    dt = ts[1] - ts[0]
-    rgb = np.zeros((rays_o.shape[0], 3))
-    trans = np.ones(rays_o.shape[0])
-    for t in ts:
-        xyz = rays_o + t * rays_d
-        inside = np.all(np.abs(xyz) <= scale, axis=-1)
-        sigma = sphere_density(xyz) * inside
-        alpha = 1.0 - np.exp(-sigma * dt)
-        wgt = alpha * trans
-        rgb += wgt[:, None] * sphere_albedo(xyz)
-        trans *= 1.0 - alpha
+    ts = np.linspace(t0, t1, n_steps, dtype=np.float32)
+    dt = float(ts[1] - ts[0])
+    # fully vectorized over (rays, steps)
+    xyz = (
+        rays_o[:, None, :].astype(np.float32)
+        + ts[None, :, None] * rays_d[:, None, :].astype(np.float32)
+    )  # (R, S, 3)
+    inside = np.all(np.abs(xyz) <= scale, axis=-1)
+    sigma = sphere_density(xyz) * inside
+    alpha = 1.0 - np.exp(-sigma * dt)
+    trans = np.cumprod(1.0 - alpha + 1e-12, axis=1) / (1.0 - alpha + 1e-12)
+    wgt = alpha * trans  # (R, S)
+    rgb = np.einsum("rs,rsc->rc", wgt, sphere_albedo(xyz))
     if white_bg:
-        rgb += trans[:, None]
+        rgb += trans[:, -1:] * (1.0 - alpha[:, -1:])
     return rgb.astype(np.float32).reshape(h * w, 3)
 
 

@@ -24,7 +24,16 @@ import jax
 import jax.numpy as jnp
 
 from ..config import NEAR_DISTANCE, ModelConfig
-from ..ops.math import grid_coords, morton3d, morton3d_invert, packbits_u32
+import functools
+import numpy as np
+
+from ..ops.math import (
+    grid_coords_np,
+    morton3d,
+    morton3d_invert,
+    morton3d_np,
+    packbits_u32,
+)
 
 
 class OccupancyGrid(NamedTuple):
@@ -42,14 +51,29 @@ def init_occupancy(cfg: ModelConfig) -> OccupancyGrid:
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _all_cells(grid_size: int):
+    """All cell (coords, morton indices), precomputed host-side in numpy —
+    a 2M-element literal, not a foldable bit-op chain (XLA would spend
+    minutes constant-folding the traced version at G=128)."""
+    coords = grid_coords_np(grid_size)
+    return coords, morton3d_np(coords)
+
+
 def _cascade_scale(c: int, scale: float) -> float:
     # reference: networks.py:231,270 — cascade c covers [-2^(c-1), 2^(c-1)]^3
     return min(2.0 ** (c - 1), scale)
 
 
 def _chunked(fn: Callable, x: jnp.ndarray, chunk: int) -> jnp.ndarray:
-    """Apply ``fn`` over the leading axis in fixed-size chunks via lax.map."""
+    """Apply ``fn`` over the leading axis in fixed-size chunks via lax.map.
+
+    When the input fits in one chunk (the TPU path — HBM handles millions
+    of samples in one fused call) the loop disappears entirely.
+    """
     n = x.shape[0]
+    if n <= chunk:
+        return fn(x)
     pad = (-n) % chunk
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
@@ -75,9 +99,9 @@ def mark_invisible_cells(
     n_cams = poses.shape[0]
     w2c_r = jnp.swapaxes(poses[:, :3, :3], 1, 2)  # (N, 3, 3)
     w2c_t = -jnp.einsum("nij,nj->ni", w2c_r, poses[:, :3, 3])  # (N, 3)
-    coords = grid_coords(g)  # (G^3, 3)
-    indices = morton3d(coords)
-    xyzs = coords.astype(jnp.float32) / (g - 1) * 2.0 - 1.0
+    coords_np, indices_np = _all_cells(g)  # host-side static literals
+    indices = jnp.asarray(indices_np)
+    xyzs = jnp.asarray(coords_np, jnp.float32) / (g - 1) * 2.0 - 1.0
 
     density_grid = []
     count_grid = []
@@ -136,7 +160,8 @@ def update_density_grid(
     warmup: bool,
     decay: float = 0.95,
     erode: bool = False,
-    chunk: int = 256 * 1024,
+    chunk: int = 4 * 1024 * 1024,
+    all_cells: tuple | None = None,
 ) -> OccupancyGrid:
     """EMA density refresh + bitfield repack (reference: networks.py:255-290).
 
@@ -144,6 +169,9 @@ def update_density_grid(
         density_fn: ``(params, cfg, xyz) -> sigma``.
         warmup: static — all cells during the first 256 steps
             (train.py:57,178-182), else G^3/4 uniform + G^3/4 occupied.
+        all_cells: optional (coords, indices) device arrays for the warmup
+            path.  Pass these as *runtime* arguments — embedding the 2M-cell
+            tables as HLO literals OOM-kills the XLA compile helper.
     """
     g = cfg.grid_size
     g3 = g**3
@@ -152,8 +180,12 @@ def update_density_grid(
     for c in range(cfg.cascades):
         key, k_u, k_o, k_n = jax.random.split(key, 4)
         if warmup:
-            coords = grid_coords(g)
-            indices = morton3d(coords)
+            if all_cells is not None:
+                coords, indices = all_cells
+            else:
+                coords_np, indices_np = _all_cells(g)
+                coords = jnp.asarray(coords_np)
+                indices = jnp.asarray(indices_np)
         else:
             m = g3 // 4
             coords1 = jax.random.randint(

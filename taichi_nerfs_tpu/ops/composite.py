@@ -12,6 +12,14 @@ the early-stop becomes a contribution mask ``T > threshold`` (identical
 output: once transmittance crosses the threshold the reference adds nothing
 further, and ``T`` is monotonically non-increasing).  Gradients come from
 plain autodiff of the scan; no custom VJP, no stored transmittance chain.
+
+The transmittance chain is computed in log space:
+``prod_{k<s}(1 - alpha_k) = exp(-sum_{k<s} sigma_k * delta_k)`` — exactly
+equal analytically, numerically better behaved, and critically it keeps
+``jnp.cumprod`` out of the autodiff graph: cumprod's JVP/transpose
+expansion sends XLA's compile of the fused train-step backward from ~30 s
+to ~250 s (measured on v5e), while cumsum's transpose (a reversed cumsum)
+is trivial.
 """
 
 from __future__ import annotations
@@ -30,13 +38,24 @@ class CompositeResult(NamedTuple):
 
 
 def exclusive_cumprod(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    """prod_{k < s} x_k with 1 at the first slot."""
+    """prod_{k < s} x_k with 1 at the first slot.
+
+    Kept for API/tests; the hot path uses :func:`exclusive_transmittance`
+    (log-space) instead — see module docstring.
+    """
     inc = jnp.cumprod(x, axis=axis)
     one = jnp.ones_like(jnp.take(inc, jnp.asarray([0]), axis=axis))
     return jnp.concatenate(
         [one, jnp.take(inc, jnp.arange(x.shape[axis] - 1), axis=axis)],
         axis=axis,
     )
+
+
+def exclusive_transmittance(optical_depth: jnp.ndarray) -> jnp.ndarray:
+    """``T_s = exp(-sum_{k<s} tau_k)`` along the last axis (T_0 = 1)."""
+    acc = jnp.cumsum(optical_depth, axis=-1)
+    acc_exc = acc - optical_depth  # exclusive prefix
+    return jnp.exp(-acc_exc)
 
 
 def composite_train(
@@ -60,8 +79,9 @@ def composite_train(
         t_in: (N,) optional incoming transmittance (test renderer resumes
             from ``1 - opacity``, reference: volume_render_test.py:26).
     """
-    alpha = jnp.where(valid, 1.0 - jnp.exp(-sigmas * deltas), 0.0)
-    trans = exclusive_cumprod(1.0 - alpha, axis=-1)
+    tau = jnp.where(valid, sigmas * deltas, 0.0)
+    alpha = 1.0 - jnp.exp(-tau)
+    trans = exclusive_transmittance(tau)
     if t_in is not None:
         trans = trans * t_in[:, None]
     contrib = valid & (trans > t_threshold)

@@ -96,9 +96,14 @@ def build_layout(cfg: HashGridConfig) -> HashGridLayout:
 
 def init_hash_table(key: jax.Array, layout: HashGridLayout) -> jnp.ndarray:
     """U[0,1] init, as the reference's ``torch.nn.init.uniform_`` default
-    (modules/hash_encoder.py:220-227).  Shape (n_entries, F)."""
+    (modules/hash_encoder.py:220-227).
+
+    Shape (F, n_entries) — feature-major, so each feature channel is one
+    flat, perfectly-tiled gather target (the reference interleaves features
+    per entry, ``hash_encoder.py:134-136``; the export path transposes
+    back)."""
     return jax.random.uniform(
-        key, (layout.n_entries, layout.feature_per_level), dtype=jnp.float32
+        key, (layout.feature_per_level, layout.n_entries), dtype=jnp.float32
     )
 
 
@@ -121,6 +126,11 @@ def hash_encode(
 ) -> jnp.ndarray:
     """Encode normalized positions through the multiresolution hash grid.
 
+    Fully vectorized over (levels x 8 corners): the whole encode is ONE
+    gather from the table, and its autodiff transpose is ONE scatter-add —
+    a per-level/per-corner formulation (128 separate gathers) makes XLA's
+    backward-pass compile take minutes and can OOM the compiler.
+
     Args:
         table: (n_entries, F) float table.
         xyz: (..., 3) positions normalized to [0, 1].
@@ -129,37 +139,79 @@ def hash_encode(
         (..., levels * F) features, level-major like the reference
         (``hash_encoder.py:141-143``).
     """
-    feats = []
-    compute_dtype = table.dtype
-    for level in range(layout.levels):
-        scale = layout.base_res * math.exp(level * layout.log_b) - 1.0
-        res = layout.resolutions[level]
-        map_size = layout.map_sizes[level]
-        offset = layout.offsets[level]
+    L = layout.levels
+    F = layout.feature_per_level
+    C = L * 8  # flattened (level, corner) slots — 128 for the flagship 16
+    batch_shape = xyz.shape[:-1]
+    x = xyz.reshape(-1, 3)
+    m = x.shape[0]
 
-        pos = xyz * jnp.float32(scale) + 0.5
-        pos_grid = jnp.floor(pos)
-        frac = (pos - pos_grid).astype(compute_dtype)
-        pos_grid = pos_grid.astype(jnp.uint32)
+    # per-slot static tables, slot k = (level k//8, corner k%8).  All live
+    # in the 128-lane minor dimension, so every intermediate is a clean
+    # (M, C) tile — deep (M, L, 8, 3)-style shapes pad their tiny minor
+    # dims to 128 lanes and blow up HBM ~40x.
+    level_of = [k // 8 for k in range(C)]
+    scales = jnp.asarray(
+        [
+            layout.base_res * math.exp(level_of[k] * layout.log_b) - 1.0
+            for k in range(C)
+        ],
+        jnp.float32,
+    )
+    res = jnp.asarray(
+        [layout.resolutions[level_of[k]] for k in range(C)], jnp.uint32
+    )
+    map_sizes = jnp.asarray(
+        [layout.map_sizes[level_of[k]] for k in range(C)], jnp.uint32
+    )
+    offsets = jnp.asarray(
+        [layout.offsets[level_of[k]] for k in range(C)], jnp.int32
+    )
+    use_under = jnp.asarray(
+        [level_of[k] < layout.begin_fast_hash_level for k in range(C)],
+        jnp.bool_,
+    )
+    bits = [
+        jnp.asarray([(k % 8 >> d) & 1 for k in range(C)], jnp.uint32)
+        for d in range(3)
+    ]
+    # slot -> level selector for the corner reduction (one MXU matmul)
+    sel = jnp.asarray(
+        [[1.0 if level_of[k] == lv else 0.0 for lv in range(L)]
+         for k in range(C)],
+        jnp.float32,
+    )  # (C, L)
 
-        acc = None
-        for corner in range(8):
-            sel = jnp.asarray(
-                [(corner >> d) & 1 for d in range(3)], jnp.uint32
+    w = None
+    c = []
+    for d in range(3):
+        pos_d = x[:, d : d + 1] * scales[None, :] + 0.5  # (M, C)
+        pg_d = jnp.floor(pos_d)
+        fr_d = pos_d - pg_d
+        c.append(pg_d.astype(jnp.int32).astype(jnp.uint32) + bits[d])
+        w_d = jnp.where(bits[d].astype(jnp.bool_), fr_d, 1.0 - fr_d)
+        w = w_d if w is None else w * w_d
+
+    h_under = c[0] + c[1] * res + c[2] * res * res
+    h_fast = (
+        c[0] * jnp.uint32(_PRIMES[0])
+        ^ c[1] * jnp.uint32(_PRIMES[1])
+        ^ c[2] * jnp.uint32(_PRIMES[2])
+    )
+    h = jnp.where(use_under, h_under, h_fast)
+    idx = (h % map_sizes).astype(jnp.int32) + offsets  # (M, C)
+
+    # one flat gather per feature channel + one matmul corner-reduce
+    outs = []
+    for f in range(F):
+        g = jnp.take(table[f], idx, axis=0)  # (M, C)
+        outs.append(
+            jnp.dot(
+                w * g,
+                sel,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            cxyz = pos_grid + sel
-            w = jnp.ones(xyz.shape[:-1], compute_dtype)
-            for d in range(3):
-                w = w * jnp.where(
-                    (corner >> d) & 1, frac[..., d], 1.0 - frac[..., d]
-                )
-            if level < layout.begin_fast_hash_level:
-                h = _under_hash(cxyz, res)
-            else:
-                h = _fast_hash(cxyz)
-            idx = (h % jnp.uint32(map_size)).astype(jnp.int32) + offset
-            f = jnp.take(table, idx, axis=0)  # (..., F)
-            term = w[..., None] * f
-            acc = term if acc is None else acc + term
-        feats.append(acc)
-    return jnp.concatenate(feats, axis=-1)
+        )  # (M, L)
+    out = jnp.stack(outs, axis=-1)  # (M, L, F) -> level-major flat
+    return out.reshape(*batch_shape, L * F)

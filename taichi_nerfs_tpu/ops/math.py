@@ -144,6 +144,36 @@ def bitfield_to_u8(bitfield_u32: jnp.ndarray) -> jnp.ndarray:
     return bytes_.reshape(-1).astype(jnp.uint8)
 
 
+def morton3d_np(xyz) -> "np.ndarray":
+    """Numpy morton encode — host-side precomputation of static cell
+    permutations (embedding a folded literal instead of a 2M-element
+    bit-op chain keeps XLA compile times sane)."""
+    import numpy as np
+
+    v = np.asarray(xyz, np.uint32)
+
+    def expand(v):
+        v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+        v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+        v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+        v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+        return v
+
+    e = expand(v)
+    return (
+        e[..., 0] | (e[..., 1] << np.uint32(1)) | (e[..., 2] << np.uint32(2))
+    ).astype(np.int32)
+
+
+def grid_coords_np(grid_size: int) -> "np.ndarray":
+    """Numpy meshgrid coordinates (host-side static)."""
+    import numpy as np
+
+    g = np.arange(grid_size, dtype=np.int32)
+    z, y, x = np.meshgrid(g, g, g, indexing="ij")
+    return np.stack([x, y, z], axis=-1).reshape(-1, 3)
+
+
 def grid_coords(grid_size: int) -> jnp.ndarray:
     """Dense (G^3, 3) int32 meshgrid coordinates, x-fastest ordering.
 

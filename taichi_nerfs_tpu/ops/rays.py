@@ -59,6 +59,22 @@ def get_ray_directions(
     return directions
 
 
+def get_ray_directions_np(H: int, W: int, K) -> np.ndarray:
+    """Numpy twin of :func:`get_ray_directions` (deterministic, flattened)
+    for host-side dataset preprocessing — no device round-trip."""
+    K = np.asarray(K, np.float32)
+    u, v = np.meshgrid(
+        np.arange(W, dtype=np.float32),
+        np.arange(H, dtype=np.float32),
+        indexing="xy",
+    )
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    directions = np.stack(
+        [(u - cx + 0.5) / fx, (v - cy + 0.5) / fy, np.ones_like(u)], axis=-1
+    )
+    return directions.reshape(-1, 3).astype(np.float32)
+
+
 def get_rays(directions: jnp.ndarray, c2w: jnp.ndarray):
     """Camera-frame directions + camera-to-world pose(s) -> world rays.
 

@@ -56,7 +56,7 @@ def sample_batch(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "sample_cap"),
+    static_argnames=("cfg", "sample_cap", "pack_cap"),
     donate_argnames=("state",),
 )
 def train_step(
@@ -64,6 +64,7 @@ def train_step(
     data: Batch,
     cfg: Config,
     sample_cap: int,
+    pack_cap: int | None = None,
 ) -> Tuple[TrainState, Dict[str, Any]]:
     """One optimizer step (reference: train.py:168-201)."""
     rng, k_batch, k_render = jax.random.split(state.rng, 3)
@@ -82,6 +83,7 @@ def train_step(
             rays_d,
             k_render,
             sample_cap,
+            pack_cap,
         )
         loss = jnp.mean((results["rgb"] - rgb_gt) ** 2)
         if cfg.train.distortion_loss_w > 0:
@@ -122,10 +124,9 @@ def train_step(
 
 
 @partial(jax.jit, static_argnames=("cfg", "warmup"), donate_argnames=("state",))
-def density_grid_step(
-    state: TrainState, cfg: Config, warmup: bool
+def _density_grid_step_impl(
+    state: TrainState, all_cells, cfg: Config, warmup: bool
 ) -> TrainState:
-    """Scheduled occupancy-grid refresh (reference: train.py:178-182)."""
     rng, key = jax.random.split(state.rng)
     occupancy = update_density_grid(
         state.params,
@@ -136,10 +137,36 @@ def density_grid_step(
         cfg.train.density_threshold(),
         warmup=warmup,
         decay=cfg.train.density_decay,
+        all_cells=all_cells,
     )
     return TrainState(
         params=state.params,
         opt_state=state.opt_state,
         occupancy=occupancy,
         rng=rng,
+    )
+
+
+_ALL_CELLS_DEVICE: dict = {}
+
+
+def density_grid_step(
+    state: TrainState, cfg: Config, warmup: bool
+) -> TrainState:
+    """Scheduled occupancy-grid refresh (reference: train.py:178-182).
+
+    The all-cells table rides in as a runtime argument (cached on device)
+    so the warmup program's HLO stays literal-free.
+    """
+    from ..models.occupancy import _all_cells
+
+    g = cfg.model.grid_size
+    if g not in _ALL_CELLS_DEVICE:
+        coords_np, indices_np = _all_cells(g)
+        _ALL_CELLS_DEVICE[g] = (
+            jnp.asarray(coords_np),
+            jnp.asarray(indices_np),
+        )
+    return _density_grid_step_impl(
+        state, _ALL_CELLS_DEVICE[g], cfg, warmup
     )

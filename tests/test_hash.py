@@ -61,9 +61,11 @@ def test_hash_encode_matches_oracle(rng):
     # some dense levels, some hashed
     assert 0 < layout.begin_fast_hash_level < cfg.levels
     table = np.asarray(init_hash_table(jax.random.PRNGKey(0), layout))
+    assert table.shape == (layout.feature_per_level, layout.n_entries)
     xyz = rng.uniform(0, 1, size=(64, 3)).astype(np.float32)
     got = np.asarray(hash_encode(jnp.asarray(table), jnp.asarray(xyz), layout))
-    want = _oracle_hash_encode(table.astype(np.float64), xyz, layout)
+    # oracle indexes entry-major (n_entries, F) like the reference
+    want = _oracle_hash_encode(table.T.astype(np.float64), xyz, layout)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
