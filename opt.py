@@ -34,9 +34,10 @@ def get_opts(prefix_args=None):
                              "[-scale, scale]^3")
     parser.add_argument("--half_opt", action="store_true", default=False,
                         help="half-precision (bf16) hash table")
-    parser.add_argument("--encoder_type", type=str, default="hash",
-                        choices=["hash", "triplane"],
-                        help="which encoder to use")
+    parser.add_argument("--encoder_type", type=str, default="brick",
+                        choices=["hash", "triplane", "brick"],
+                        help="which encoder to use (brick = TPU-native "
+                        "row-gather layout, fastest on TPU)")
     parser.add_argument("--sh_degree", type=int, default=2,
                         help="degree of spherical harmonics (svox)")
     parser.add_argument("--grid_size", type=int, default=256,

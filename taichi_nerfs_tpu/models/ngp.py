@@ -18,6 +18,11 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..ops.brick_encoder import (
+    brick_encode,
+    build_brick_layout,
+    init_brick_params,
+)
 from ..ops.hash_encoder import build_layout, hash_encode, init_hash_table
 from ..ops.sh import sh_encode
 from ..ops.triplane import init_triplane_table, triplane_encode
@@ -73,6 +78,10 @@ def init_ngp_params(key: jax.Array, cfg: ModelConfig) -> Params:
         params["hash_table"] = init_hash_table(k_enc, build_layout(cfg.grid))
     elif cfg.pos_encoder_type == "triplane":
         params["triplane_table"] = init_triplane_table(k_enc, cfg.triplane)
+    elif cfg.pos_encoder_type == "brick":
+        params["brick"] = init_brick_params(
+            k_enc, build_brick_layout(cfg.brick)
+        )
     else:
         raise NotImplementedError(cfg.pos_encoder_type)
     params["xyz_mlp"] = init_mlp(k_xyz, xyz_mlp_spec(cfg))
@@ -83,6 +92,10 @@ def init_ngp_params(key: jax.Array, cfg: ModelConfig) -> Params:
 def _encode_position(params: Params, cfg: ModelConfig, x01: jnp.ndarray):
     if cfg.pos_encoder_type == "hash":
         return hash_encode(params["hash_table"], x01, build_layout(cfg.grid))
+    if cfg.pos_encoder_type == "brick":
+        return brick_encode(
+            params["brick"], x01, build_brick_layout(cfg.brick)
+        )
     return triplane_encode(params["triplane_table"], x01, cfg.triplane)
 
 

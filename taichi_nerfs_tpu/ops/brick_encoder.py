@@ -1,0 +1,332 @@
+"""Brick-layout multiresolution grid encoder — the TPU speed-of-light path.
+
+Same capability as the reference's hash encoder
+(``modules/hash_encoder.py:14-285``: multi-res trilinear feature grids with
+hashed fine levels), re-designed around what a TPU can actually do fast.
+
+**Why.**  On TPU, a random gather costs ~10 ns per *row* regardless of row
+width up to ~128 B (measured on v5e: scalar gathers and 64 B-row gathers
+both run at ~75-100 M/s).  The classic NGP layout needs
+``levels x 8 corners`` scalar gathers per sample — 128 rows per sample.
+Storing each cell's full 2x2x2xF corner block contiguously ("brick") makes
+it **one row-gather per (sample, level)** — an 8x reduction at equal
+hardware cost per gather.  Interpolation then happens in-register against
+the (8F)-wide row; the corner reduction is a single MXU matmul.
+
+**Layout.**  One flat table of shape ``(total_rows, 8*F)``.  Per level:
+
+* **dense levels** (``res^3 <= rows cap``): parameters are a standard
+  shared-corner grid ``(res+1)^3 x F`` (exact NGP function class — C0
+  continuous).  Bricks are *materialized views*: ``brick[g, c] =
+  corner[g + offset(c)]`` built per step from 8 shifted dense slices —
+  pure streaming, runs at HBM bandwidth.  Gradients reduce back with the
+  transposed shifts (exact).
+* **hashed levels** (finer): bricks are parameters directly, keyed by
+  ``fast_hash(cell) % rows``.  Corners are *not* shared between adjacent
+  cells (the field is C0 within cells, discontinuous at faces at the
+  finest scales) — the TPU-native trade mirroring NGP's own fine-level
+  hash collisions.  Capacity per row is 8F values, so a ``rows=2^17``
+  level holds the same parameter count as a ``T=2^20`` NGP level.
+
+The backward (custom VJP) produces only the table gradient — positions are
+produced by the ray marcher and carry no gradient, matching the reference
+(``hash_encoder.py:264-279`` returns grads for the table alone).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BrickGridConfig
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class BrickGridLayout:
+    levels: int
+    F: int
+    base_res: float
+    log_b: float
+    resolutions: Tuple[int, ...]  # cell-grid resolution per level
+    rows: Tuple[int, ...]  # brick rows per level
+    offsets: Tuple[int, ...]  # level start row in the flat brick table
+    dense: Tuple[bool, ...]  # dense (shared-corner) level?
+    # dense corner-grid parameter sizing: level -> (corner_res, param_offset)
+    corner_res: Tuple[int, ...]
+    corner_offsets: Tuple[int, ...]
+    n_corner_params: int  # total dense corner params (rows of F)
+    n_rows: int  # total brick rows
+
+    @property
+    def out_dim(self) -> int:
+        return self.levels * self.F
+
+    @property
+    def row_width(self) -> int:
+        return 8 * self.F
+
+
+def build_brick_layout(cfg: BrickGridConfig) -> BrickGridLayout:
+    rows_cap = 2**cfg.log2_rows
+    resolutions: List[int] = []
+    rows: List[int] = []
+    offsets: List[int] = []
+    dense: List[bool] = []
+    corner_res: List[int] = []
+    corner_offsets: List[int] = []
+    row_off = 0
+    corner_off = 0
+    for i in range(cfg.levels):
+        res = int(
+            np.ceil(float(cfg.base_res) * np.exp(i * cfg.log_b) - 1.0) + 1
+        )
+        is_dense = res**3 <= rows_cap
+        n_rows = res**3 if is_dense else rows_cap
+        resolutions.append(res)
+        rows.append(n_rows)
+        offsets.append(row_off)
+        dense.append(is_dense)
+        row_off += n_rows
+        if is_dense:
+            corner_res.append(res + 1)
+            corner_offsets.append(corner_off)
+            corner_off += (res + 1) ** 3
+        else:
+            corner_res.append(0)
+            corner_offsets.append(-1)
+    return BrickGridLayout(
+        levels=cfg.levels,
+        F=cfg.feature_per_level,
+        base_res=float(cfg.base_res),
+        log_b=cfg.log_b,
+        resolutions=tuple(resolutions),
+        rows=tuple(rows),
+        offsets=tuple(offsets),
+        dense=tuple(dense),
+        corner_res=tuple(corner_res),
+        corner_offsets=tuple(corner_offsets),
+        n_corner_params=corner_off,
+        n_rows=row_off,
+    )
+
+
+def init_brick_params(key: jax.Array, layout: BrickGridLayout):
+    """Params pytree: dense shared-corner grids + hashed brick rows.
+
+    U[0,1]-ish init scaled like the reference table init
+    (``hash_encoder.py:220-227``).
+    """
+    k1, k2 = jax.random.split(key)
+    corners = jax.random.uniform(
+        k1, (layout.n_corner_params, layout.F), dtype=jnp.float32
+    )
+    hashed_rows = sum(r for r, d in zip(layout.rows, layout.dense) if not d)
+    bricks = jax.random.uniform(
+        k2, (max(hashed_rows, 1), layout.row_width), dtype=jnp.float32
+    )
+    return {"corners": corners, "bricks": bricks}
+
+
+def _materialize_dense_bricks(
+    corners: jnp.ndarray, layout: BrickGridLayout
+) -> List[jnp.ndarray]:
+    """Dense levels: gather-free brick construction from corner grids.
+
+    ``brick[g, cz*4+cy*2+cx] = corner[g + (cx,cy,cz)]`` via 8 shifted dense
+    slices — pure streaming (no random access).
+    """
+    out = []
+    for lv in range(layout.levels):
+        if not layout.dense[lv]:
+            continue
+        res = layout.resolutions[lv]
+        cres = layout.corner_res[lv]
+        off = layout.corner_offsets[lv]
+        grid = corners[off : off + cres**3].reshape(cres, cres, cres, layout.F)
+        # corner order must match weight order: c = cx + 2*cy + 4*cz
+        shifts = []
+        for cz in (0, 1):
+            for cy in (0, 1):
+                for cx in (0, 1):
+                    shifts.append(
+                        grid[
+                            cz : cz + res,
+                            cy : cy + res,
+                            cx : cx + res,
+                        ]
+                    )
+        # (res, res, res, 8, F) -> rows in x-fastest order
+        b = jnp.stack(shifts, axis=3)
+        out.append(b.reshape(res**3, 8 * layout.F))
+    return out
+
+
+def _full_brick_table(params, layout: BrickGridLayout) -> jnp.ndarray:
+    """Concatenate materialized dense bricks + hashed brick params into the
+    flat ``(n_rows, 8F)`` gather target, in level order."""
+    dense_bricks = _materialize_dense_bricks(params["corners"], layout)
+    parts = []
+    di = 0
+    hoff = 0
+    for lv in range(layout.levels):
+        if layout.dense[lv]:
+            parts.append(dense_bricks[di])
+            di += 1
+        else:
+            parts.append(params["bricks"][hoff : hoff + layout.rows[lv]])
+            hoff += layout.rows[lv]
+    return jnp.concatenate(parts, axis=0)
+
+
+def _cell_and_weights(xyz: jnp.ndarray, layout: BrickGridLayout):
+    """Per level: cell coords (M, L, 3) int32, trilinear weights (M, L, 8).
+
+    Same geometry as the reference kernel (``hash_encoder.py:74-80``):
+    ``pos = x * (base * e^(l*log_b) - 1) + 0.5``.
+    """
+    L = layout.levels
+    scales = jnp.asarray(
+        [
+            layout.base_res * math.exp(lv * layout.log_b) - 1.0
+            for lv in range(L)
+        ],
+        jnp.float32,
+    )  # (L,)
+    pos = xyz[:, None, :] * scales[None, :, None] + 0.5  # (M, L, 3)
+    g = jnp.floor(pos)
+    frac = pos - g
+    g = g.astype(jnp.int32)
+    # weights in c = cx + 2*cy + 4*cz order
+    wx = jnp.stack([1.0 - frac[..., 0], frac[..., 0]], axis=-1)  # (M, L, 2)
+    wy = jnp.stack([1.0 - frac[..., 1], frac[..., 1]], axis=-1)
+    wz = jnp.stack([1.0 - frac[..., 2], frac[..., 2]], axis=-1)
+    w8 = (
+        wz[..., :, None, None] * wy[..., None, :, None] * wx[..., None, None, :]
+    ).reshape(*frac.shape[:-1], 8)
+    return g, w8
+
+
+def _row_indices(g: jnp.ndarray, layout: BrickGridLayout) -> jnp.ndarray:
+    """(M, L, 3) cell coords -> (M, L) global brick-row indices."""
+    L = layout.levels
+    cols = []
+    for lv in range(L):
+        c = g[:, lv, :].astype(jnp.uint32)
+        res = layout.resolutions[lv]
+        if layout.dense[lv]:
+            r = jnp.uint32(res)
+            idx = c[:, 0] + c[:, 1] * r + c[:, 2] * r * r
+        else:
+            h = (
+                c[:, 0] * jnp.uint32(_PRIMES[0])
+                ^ c[:, 1] * jnp.uint32(_PRIMES[1])
+                ^ c[:, 2] * jnp.uint32(_PRIMES[2])
+            )
+            idx = h % jnp.uint32(layout.rows[lv])
+        cols.append(idx.astype(jnp.int32) + layout.offsets[lv])
+    return jnp.stack(cols, axis=1)
+
+
+def _encode_impl(params, xyz: jnp.ndarray, layout: BrickGridLayout):
+    M = xyz.shape[0]
+    L, F = layout.levels, layout.F
+    table = _full_brick_table(params, layout)  # (n_rows, 8F)
+    g, w8 = _cell_and_weights(xyz, layout)
+    idx = _row_indices(g, layout)  # (M, L)
+    rows = jnp.take(table, idx.reshape(-1), axis=0)  # (M*L, 8F)
+    # expand w8 (M, L, 8) across F features -> (M*L, 8F), c-major like rows
+    wexp = jnp.repeat(w8.reshape(M * L, 8), F, axis=1)
+    weighted = rows * wexp  # (M*L, 8F)
+    # corner reduction: one skinny matmul (8F -> F)
+    sel = jnp.asarray(
+        [[1.0 if (i % F) == f else 0.0 for f in range(F)]
+         for i in range(8 * F)],
+        jnp.float32,
+    )
+    feats = jnp.dot(
+        weighted,
+        sel,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (M*L, F)
+    return feats.reshape(M, L * F), (idx, wexp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _brick_encode_flat(params, xyz, layout):
+    return _encode_impl(params, xyz, layout)[0]
+
+
+def _fwd(params, xyz, layout):
+    out, (idx, wexp) = _encode_impl(params, xyz, layout)
+    return out, (idx, wexp)
+
+
+def _bwd(layout, res, dout):
+    idx, wexp = res
+    M = idx.shape[0]
+    L, F = layout.levels, layout.F
+    # rows are c-major (c0f0 c0f1 ... c7f(F-1)); d(weighted)[k, c*F+f] =
+    # dout[k, f] -> tile the F-block 8 times
+    drows = jnp.tile(dout.reshape(M * L, F), (1, 8))
+    dweighted = drows * wexp  # (M*L, 8F)
+    dtable = jnp.zeros(
+        (layout.n_rows, layout.row_width), jnp.float32
+    ).at[idx.reshape(-1)].add(dweighted)
+    # split back: dense levels reduce bricks -> corners; hashed pass through
+    dcorners = jnp.zeros((layout.n_corner_params, layout.F), jnp.float32)
+    hashed_rows = sum(
+        r for r, d in zip(layout.rows, layout.dense) if not d
+    )
+    dbricks = jnp.zeros((max(hashed_rows, 1), layout.row_width), jnp.float32)
+    hoff = 0
+    for lv in range(layout.levels):
+        off = layout.offsets[lv]
+        n = layout.rows[lv]
+        d_lv = dtable[off : off + n]
+        if layout.dense[lv]:
+            res_l = layout.resolutions[lv]
+            cres = layout.corner_res[lv]
+            coff = layout.corner_offsets[lv]
+            db = d_lv.reshape(res_l, res_l, res_l, 8, layout.F)
+            dc = jnp.zeros((cres, cres, cres, layout.F), jnp.float32)
+            ci = 0
+            for cz in (0, 1):
+                for cy in (0, 1):
+                    for cx in (0, 1):
+                        dc = dc.at[
+                            cz : cz + res_l,
+                            cy : cy + res_l,
+                            cx : cx + res_l,
+                        ].add(db[:, :, :, ci])
+                        ci += 1
+            dcorners = dcorners.at[coff : coff + cres**3].set(
+                dc.reshape(cres**3, layout.F)
+            )
+        else:
+            dbricks = dbricks.at[hoff : hoff + n].set(d_lv)
+            hoff += n
+    return ({"corners": dcorners, "bricks": dbricks}, None)
+
+
+_brick_encode_flat.defvjp(_fwd, _bwd)
+
+
+def brick_encode(
+    params, xyz: jnp.ndarray, layout: BrickGridLayout
+) -> jnp.ndarray:
+    """Encode positions in [0,1]^3 -> (..., levels*F) features."""
+    batch_shape = xyz.shape[:-1]
+    flat = xyz.reshape(-1, 3)
+    # clamp like the reference's implicit in-bounds assumption
+    flat = jnp.clip(flat, 0.0, 1.0)
+    out = _brick_encode_flat(params, flat, layout)
+    return out.reshape(*batch_shape, layout.out_dim)

@@ -49,15 +49,24 @@ class Trainer:
         )(self.cfg.model, K, data.poses, tuple(img_wh))
         self.state = self.state._replace(occupancy=occupancy)
         self.sample_cap = cfg.render.train_sample_cap
+        # packed field eval from step 0: warmup batches measure ~180-300
+        # samples/ray on synthetic scenes, far below the dense S=1024 slab
+        self.pack_cap = min(
+            _next_pow2(cfg.train.batch_size * 384),
+            cfg.train.batch_size * self.sample_cap,
+        )
         self.step = 0
         self._pending_counts_max = None
+        self._pending_rm_samples = None
 
     def _adapt_sample_cap(self):
-        """Resize the marching bucket from the last step's sample counts."""
+        """Resize the marching/packing buckets from the last step's counts."""
         if self._pending_counts_max is None:
             return
         counts_max = int(self._pending_counts_max)
+        rm_samples = int(self._pending_rm_samples)
         self._pending_counts_max = None
+        self._pending_rm_samples = None
         max_cap = self.cfg.render.train_sample_cap
         if counts_max >= self.sample_cap and self.sample_cap < max_cap:
             self.sample_cap = min(self.sample_cap * 2, max_cap)
@@ -65,6 +74,14 @@ class Trainer:
             proposed = max(_next_pow2(counts_max + 1), MIN_CAP)
             if proposed < self.sample_cap:
                 self.sample_cap = proposed
+        # packed eval pays off once the dense grid is mostly padding; 2x
+        # headroom over the observed batch total, pow2-bucketed
+        n_dense = self.cfg.train.batch_size * self.sample_cap
+        proposed_pack = _next_pow2(max(2 * rm_samples, 1024))
+        if proposed_pack < n_dense:
+            self.pack_cap = proposed_pack
+        else:
+            self.pack_cap = None
 
     def run_step(self):
         cfg = self.cfg
@@ -74,9 +91,10 @@ class Trainer:
             )
             self._adapt_sample_cap()
         self.state, metrics = train_step(
-            self.state, self.data, cfg, self.sample_cap
+            self.state, self.data, cfg, self.sample_cap, self.pack_cap
         )
         self._pending_counts_max = metrics["counts_max"]
+        self._pending_rm_samples = metrics["rm_samples"]
         self.step += 1
         return metrics
 
