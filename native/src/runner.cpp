@@ -1,0 +1,84 @@
+// Deployment inference runner — the role of the reference's
+// Android/iOS demo drivers (deployment/InstantNGP/Android_Demo/main.cpp,
+// utils/app_fp32.cpp:259-306): load an exported model directory, render one
+// frame from the exported pose (or an orbit step), write the image.
+//
+// Usage: tnerf_runner <export_dir> <out.{ppm,bmp}> [--orbit deg] [--threads N]
+#include <array>
+#include <cstdio>
+#include <cstring>
+#include <chrono>
+#include <cmath>
+#include <string>
+
+#include "ngp_model.hpp"
+#include "tagged_io.hpp"
+
+namespace {
+
+// Orbit the camera around the scene y-axis (gui.py:28-74 spirit).
+std::array<float, 12> RotateY(const std::array<float, 12>& pose, float deg) {
+  float rad = deg * 3.14159265358979f / 180.0f;
+  float c = std::cos(rad), s = std::sin(rad);
+  // R_y @ pose (rotate both axes and position)
+  std::array<float, 12> out{};
+  const float R[9] = {c, 0, s, 0, 1, 0, -s, 0, c};
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 4; ++j) {
+      float acc = 0;
+      for (int k = 0; k < 3; ++k) acc += R[i * 3 + k] * pose[k * 4 + j];
+      out[i * 4 + j] = acc;
+    }
+  return out;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 3) {
+    std::fprintf(stderr,
+                 "usage: %s <export_dir> <out.{ppm,bmp}> [--orbit deg] "
+                 "[--threads N]\n",
+                 argv[0]);
+    return 2;
+  }
+  std::string dir = argv[1];
+  std::string out = argv[2];
+  float orbit = 0;
+  int threads = 0;
+  for (int i = 3; i + 1 < argc; i += 2) {
+    if (!std::strcmp(argv[i], "--orbit")) orbit = std::strtof(argv[i + 1], nullptr);
+    if (!std::strcmp(argv[i], "--threads")) threads = std::atoi(argv[i + 1]);
+  }
+
+  try {
+    tnerf::NgpModel model(dir);
+    std::vector<float> pose_v =
+        tnerf::ReadTaggedFile(dir + "/pose.bin").AsFloat();
+    if (pose_v.size() != 12) {
+      std::fprintf(stderr, "pose.bin must hold a 3x4 pose\n");
+      return 1;
+    }
+    std::array<float, 12> pose;
+    std::copy(pose_v.begin(), pose_v.end(), pose.begin());
+    if (orbit != 0) pose = RotateY(pose, orbit);
+
+    auto t0 = std::chrono::steady_clock::now();
+    std::vector<float> img = model.Render(pose, threads);
+    auto ms = std::chrono::duration_cast<std::chrono::milliseconds>(
+                  std::chrono::steady_clock::now() - t0)
+                  .count();
+    std::fprintf(stderr, "rendered %dx%d in %lld ms (%.1f fps)\n",
+                 model.config().width, model.config().height,
+                 static_cast<long long>(ms), 1000.0 / static_cast<double>(ms));
+
+    if (out.size() > 4 && out.substr(out.size() - 4) == ".bmp")
+      tnerf::WriteBmp(out, img, model.config().width, model.config().height);
+    else
+      tnerf::WritePpm(out, img, model.config().width, model.config().height);
+  } catch (const std::exception& e) {
+    std::fprintf(stderr, "error: %s\n", e.what());
+    return 1;
+  }
+  return 0;
+}

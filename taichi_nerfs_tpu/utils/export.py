@@ -64,8 +64,10 @@ def deployment_dict(
         "model.density_bitfield": np.asarray(
             bitfield_to_u8(occupancy_bitfield)
         ),
-        "model.hash_encoder.params": np.asarray(
-            params["hash_table"], np.float32
+        # our table is (F, n_entries); the reference interleaves features
+        # per entry (hash_encoder.py:134-136) -> transpose before flattening
+        "model.hash_encoder.params": np.ascontiguousarray(
+            np.asarray(params["hash_table"], np.float32).T
         ).reshape(-1),
         "model.per_level_scale": np.float32(layout.log_b),
         "model.xyz_encoder.params": np.concatenate(
@@ -105,6 +107,62 @@ def load_tagged_binary(path: str) -> np.ndarray:
         data = np.frombuffer(f.read(), inv[int(tag)])
     assert data.size == count, f"{path}: {data.size} != {count}"
     return data
+
+
+def export_native(
+    params,
+    cfg: ModelConfig,
+    occupancy_bitfield,
+    poses,
+    K,
+    img_wh,
+    out_dir: str,
+    render_cfg=None,
+    pose_index: int = 20,
+) -> str:
+    """Full native-runner export: tagged .bin weights + config.json.
+
+    The counterpart of ``taichi_ngp.py --aot`` (taichi_ngp.py:181-189):
+    everything the C++ runner in ``native/`` needs to render — the reference
+    hardcodes these constants in three places (kernels.py:33-66,
+    app_fp32.hpp:55-69); we serialize them once.
+    """
+    import json
+
+    dep = deployment_dict(params, cfg, occupancy_bitfield, poses)
+    export_aot_weights(dep, out_dir, pose_index=pose_index)
+    layout = build_layout(cfg.grid)
+    w, h = img_wh
+    K = np.asarray(K, np.float32)
+    config = {
+        "width": int(w),
+        "height": int(h),
+        "fx": float(K[0, 0]),
+        "fy": float(K[1, 1]),
+        "cx": float(K[0, 2]),
+        "cy": float(K[1, 2]),
+        "scale": float(cfg.scale),
+        "grid_size": int(cfg.grid_size),
+        "cascades": int(cfg.cascades),
+        "levels": int(cfg.grid.levels),
+        "feat_per_level": int(cfg.grid.feature_per_level),
+        "log2_T": int(cfg.grid.log2_T),
+        "base_res": float(cfg.grid.base_res),
+        "log_b": float(layout.log_b),
+        "xyz_width": int(cfg.xyz_net_width),
+        "xyz_out": int(cfg.xyz_net_out_dim),
+        "rgb_width": int(cfg.rgb_net_width),
+        "exp_step_factor": float(
+            getattr(render_cfg, "exp_step_factor", 0.0)
+        ),
+        # mobile threshold 1e-2 (app_fp32.hpp:68)
+        "t_threshold": float(getattr(render_cfg, "t_threshold", 1e-2)),
+        "max_samples": int(getattr(render_cfg, "max_samples", 1024)),
+        "white_bg": bool(getattr(render_cfg, "white_bg", True)),
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    return out_dir
 
 
 def export_aot_weights(

@@ -1,0 +1,163 @@
+"""Dataset loader tests on synthesized on-disk fixtures (no downloads)."""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from taichi_nerfs_tpu.data import NSVFDataset, NGPDataset, NeRFDataset
+from taichi_nerfs_tpu.data.colmap2nerf import colmap_to_transforms
+from taichi_nerfs_tpu.data.colmap_utils import (
+    qvec2rotmat,
+    read_cameras_binary,
+    read_images_binary,
+    rotmat2qvec,
+)
+from taichi_nerfs_tpu.data.synthetic import SyntheticSphereDataset
+
+
+def _write_png(path, w=8, h=8, alpha=False):
+    import imageio.v2 as imageio
+
+    c = 4 if alpha else 3
+    img = (np.random.RandomState(0).rand(h, w, c) * 255).astype(np.uint8)
+    imageio.imsave(path, img)
+
+
+def test_synthetic_dataset_shapes():
+    ds = SyntheticSphereDataset(n_images=4, img_wh=(16, 16))
+    assert ds.rays.shape == (4, 256, 3)
+    assert ds.poses.shape == (4, 3, 4)
+    assert ds.directions.shape == (256, 3)
+    batch = ds.as_batch()
+    assert batch.rays.shape == (4, 256, 3)
+    # oracle background is white where no sphere: corners are bright
+    assert ds.rays[0, 0].mean() > 0.8
+
+
+def test_nsvf_loader(tmp_path):
+    root = tmp_path / "Synthetic_NeRF" / "Lego"
+    (root / "rgb").mkdir(parents=True)
+    (root / "pose").mkdir()
+    np.savetxt(root / "bbox.txt", np.array([-1, -1, -1, 1, 1, 1, 0.1]))
+    with open(root / "intrinsics.txt", "w") as f:
+        f.write("1111.0 400 400 0\n0 0 0\n")
+    pose = np.concatenate([np.eye(3), [[0], [0], [2.0]]], 1)
+    for i, prefix in enumerate(["0_", "0_", "2_"]):
+        np.savetxt(root / "pose" / f"{prefix}{i:04d}.txt",
+                   np.concatenate([pose, [[0, 0, 0, 1]]], 0))
+        _write_png(str(root / "rgb" / f"{prefix}{i:04d}.png"), alpha=True)
+    ds = NSVFDataset(str(root), split="train", downsample=0.01)
+    assert len(ds) == 2
+    assert ds.img_wh == (8, 8)
+    assert ds.rays.shape == (2, 64, 3)
+    # Lego scale fudge applied (reference nsvf.py:29-31)
+    assert np.isclose(ds.scale, 1.05 * 1.1)
+    ds_test = NSVFDataset(str(root), split="test", downsample=0.01)
+    assert len(ds_test) == 1
+
+
+def test_nerf_loader(tmp_path):
+    root = tmp_path / "lego"
+    root.mkdir()
+    frames = []
+    for i in range(2):
+        name = f"r_{i}"
+        _write_png(str(root / f"{name}.png"))
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0, 0, 2 + i]
+        frames.append(
+            {"file_path": f"./{name}", "transform_matrix": c2w.tolist()}
+        )
+    meta = {"camera_angle_x": 0.69, "frames": frames}
+    for split in ("train", "test"):
+        with open(root / f"transforms_{split}.json", "w") as f:
+            json.dump(meta, f)
+    ds = NeRFDataset(str(root), split="train", downsample=0.01)
+    assert ds.img_wh == (8, 8)
+    assert len(ds) == 2
+    # poses normalized to radius 1.5 (reference nerf.py:59-60)
+    np.testing.assert_allclose(
+        np.linalg.norm(ds.poses[:, :, 3], axis=-1), 1.5, rtol=1e-5
+    )
+
+
+def test_ngp_loader(tmp_path):
+    root = tmp_path / "scene"
+    root.mkdir()
+    _write_png(str(root / "0001.jpg"))
+    frames = [
+        {"file_path": "0001.jpg", "transform_matrix": np.eye(4).tolist()},
+        {"file_path": "missing.jpg", "transform_matrix": np.eye(4).tolist()},
+    ]
+    meta = {"w": 8, "h": 8, "fl_x": 10.0, "fl_y": 10.0, "frames": frames}
+    with open(root / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    ds = NGPDataset(str(root), split="train", downsample=1.0)
+    # missing image skipped (reference ngp.py:58-59)
+    assert len(ds) == 1
+
+
+def _write_colmap_model(sparse_dir, images_dir, n=3):
+    os.makedirs(sparse_dir, exist_ok=True)
+    os.makedirs(images_dir, exist_ok=True)
+    # cameras.bin: one PINHOLE camera
+    with open(os.path.join(sparse_dir, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 16, 12))  # id, PINHOLE, w, h
+        f.write(struct.pack("<dddd", 20.0, 20.0, 8.0, 6.0))
+    # images.bin
+    with open(os.path.join(sparse_dir, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", n))
+        for i in range(n):
+            R = np.eye(3)
+            q = rotmat2qvec(R)
+            t = [0.1 * i, 0.0, 2.0]
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<dddd", *q))
+            f.write(struct.pack("<ddd", *t))
+            f.write(struct.pack("<i", 1))
+            name = f"img_{i:03d}.jpg"
+            f.write(name.encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))  # no 2D points
+            _write_png(os.path.join(images_dir, name))
+
+
+def test_colmap_binary_parsers(tmp_path):
+    sparse = str(tmp_path / "sparse0")
+    images = str(tmp_path / "images")
+    _write_colmap_model(sparse, images)
+    cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+    assert cams[1].model == "PINHOLE"
+    assert cams[1].width == 16
+    ims = read_images_binary(os.path.join(sparse, "images.bin"))
+    assert len(ims) == 3
+    np.testing.assert_allclose(ims[1].qvec2rotmat(), np.eye(3), atol=1e-12)
+
+
+def test_qvec_roundtrip(rng):
+    from scipy.spatial.transform import Rotation
+
+    for _ in range(10):
+        R = Rotation.from_rotvec(rng.normal(size=3)).as_matrix()
+        q = rotmat2qvec(R)
+        np.testing.assert_allclose(qvec2rotmat(q), R, atol=1e-12)
+        # sign convention: scalar part non-negative
+        assert q[0] >= 0
+
+
+def test_colmap_to_transforms(tmp_path):
+    sparse = str(tmp_path / "sparse0")
+    images = str(tmp_path / "images")
+    _write_colmap_model(sparse, images)
+    out = str(tmp_path / "transforms.json")
+    meta = colmap_to_transforms(sparse, images, out)
+    assert os.path.exists(out)
+    assert meta["w"] == 16 and meta["h"] == 12
+    assert len(meta["frames"]) == 3
+    assert "sharpness" in meta["frames"][0]
+    # loadable by the NGP dataset
+    ds = NGPDataset(str(tmp_path), split="train", downsample=1.0)
+    assert len(ds) == 3
