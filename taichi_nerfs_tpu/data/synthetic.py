@@ -34,6 +34,31 @@ def sphere_albedo(xyz: np.ndarray) -> np.ndarray:
     return np.clip(xyz + 0.5, 0.0, 1.0)
 
 
+def checker_density(xyz: np.ndarray, radius: float = 0.32):
+    """Bumpy solid — the surface radius is modulated so fine grid levels
+    carry real signal (the plain sphere is too smooth to discriminate
+    encoder quality)."""
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    bump = 0.04 * np.sin(17.0 * x) * np.sin(19.0 * y) * np.sin(23.0 * z)
+    r = np.sqrt(x * x + y * y + z * z)
+    return 40.0 / (1.0 + np.exp(80.0 * (r - (radius + bump))))
+
+
+def checker_albedo(xyz: np.ndarray) -> np.ndarray:
+    """High-frequency 3D texture (~0.08-unit period at the surface)."""
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    r = 0.5 + 0.5 * np.sin(40.0 * x) * np.sin(40.0 * y)
+    g = 0.5 + 0.5 * np.sin(40.0 * y) * np.sin(40.0 * z)
+    b = 0.5 + 0.5 * np.sin(40.0 * z) * np.sin(40.0 * x)
+    return np.stack([r, g, b], axis=-1)
+
+
+_VARIANTS = {
+    "sphere": (sphere_density, sphere_albedo),
+    "checker": (checker_density, checker_albedo),
+}
+
+
 def render_gt_image(
     c2w: np.ndarray,
     K: np.ndarray,
@@ -42,6 +67,7 @@ def render_gt_image(
     n_steps: int = 256,
     scale: float = 0.5,
     white_bg: bool = True,
+    variant: str = "sphere",
 ) -> np.ndarray:
     """Dense (unaccelerated) volume integration oracle."""
     u, v = np.meshgrid(np.arange(w), np.arange(h))
@@ -64,12 +90,13 @@ def render_gt_image(
         rays_o[:, None, :].astype(np.float32)
         + ts[None, :, None] * rays_d[:, None, :].astype(np.float32)
     )  # (R, S, 3)
+    density_fn, albedo_fn = _VARIANTS[variant]
     inside = np.all(np.abs(xyz) <= scale, axis=-1)
-    sigma = sphere_density(xyz) * inside
+    sigma = density_fn(xyz) * inside
     alpha = 1.0 - np.exp(-sigma * dt)
     trans = np.cumprod(1.0 - alpha + 1e-12, axis=1) / (1.0 - alpha + 1e-12)
     wgt = alpha * trans  # (R, S)
-    rgb = np.einsum("rs,rsc->rc", wgt, sphere_albedo(xyz))
+    rgb = np.einsum("rs,rsc->rc", wgt, albedo_fn(xyz))
     if white_bg:
         rgb += trans[:, -1:] * (1.0 - alpha[:, -1:])
     return rgb.astype(np.float32).reshape(h * w, 3)
@@ -86,9 +113,12 @@ class SyntheticSphereDataset(BaseDataset):
         n_images: int = 12,
         img_wh=(64, 64),
         cam_radius: float = 1.2,
+        variant: str = "sphere",
+        n_steps: int = 256,
         **kwargs,
     ):
         super().__init__(root_dir, split, downsample)
+        self.variant = variant
         w, h = img_wh
         focal = 0.9 * w
         self.K = np.array(
@@ -110,7 +140,11 @@ class SyntheticSphereDataset(BaseDataset):
             )
             c2w = look_at(eye, np.zeros(3), np.array([0.0, 0.0, 1.0]))
             poses.append(c2w)
-            rays.append(render_gt_image(c2w, self.K, w, h))
+            rays.append(
+                render_gt_image(
+                    c2w, self.K, w, h, n_steps=n_steps, variant=variant
+                )
+            )
         self.poses = np.stack(poses)
         self.rays = np.stack(rays)
         self._set_directions()

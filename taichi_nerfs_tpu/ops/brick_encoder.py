@@ -235,6 +235,14 @@ def _row_indices(g: jnp.ndarray, layout: BrickGridLayout) -> jnp.ndarray:
     return jnp.stack(cols, axis=1)
 
 
+def _wexp(w8: jnp.ndarray, layout: BrickGridLayout) -> jnp.ndarray:
+    """(M, L, 8) corner weights -> (M*L, 8F) row-aligned expansion."""
+    M = w8.shape[0]
+    return jnp.repeat(
+        w8.reshape(M * layout.levels, 8), layout.F, axis=1
+    )
+
+
 def _encode_impl(params, xyz: jnp.ndarray, layout: BrickGridLayout):
     M = xyz.shape[0]
     L, F = layout.levels, layout.F
@@ -242,9 +250,7 @@ def _encode_impl(params, xyz: jnp.ndarray, layout: BrickGridLayout):
     g, w8 = _cell_and_weights(xyz, layout)
     idx = _row_indices(g, layout)  # (M, L)
     rows = jnp.take(table, idx.reshape(-1), axis=0)  # (M*L, 8F)
-    # expand w8 (M, L, 8) across F features -> (M*L, 8F), c-major like rows
-    wexp = jnp.repeat(w8.reshape(M * L, 8), F, axis=1)
-    weighted = rows * wexp  # (M*L, 8F)
+    weighted = rows * _wexp(w8, layout)  # (M*L, 8F)
     # corner reduction: one skinny matmul (8F -> F)
     sel = jnp.asarray(
         [[1.0 if (i % F) == f else 0.0 for f in range(F)]
@@ -257,7 +263,7 @@ def _encode_impl(params, xyz: jnp.ndarray, layout: BrickGridLayout):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # (M*L, F)
-    return feats.reshape(M, L * F), (idx, wexp)
+    return feats.reshape(M, L * F), idx
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -266,18 +272,21 @@ def _brick_encode_flat(params, xyz, layout):
 
 
 def _fwd(params, xyz, layout):
-    out, (idx, wexp) = _encode_impl(params, xyz, layout)
-    return out, (idx, wexp)
+    out, idx = _encode_impl(params, xyz, layout)
+    # residuals stay O(M): weights are recomputed from xyz in the backward
+    # (storing the (M*L, 8F) expansion OOMs warmup-scale batches)
+    return out, (idx, xyz)
 
 
 def _bwd(layout, res, dout):
-    idx, wexp = res
+    idx, xyz = res
     M = idx.shape[0]
     L, F = layout.levels, layout.F
+    _, w8 = _cell_and_weights(xyz, layout)
     # rows are c-major (c0f0 c0f1 ... c7f(F-1)); d(weighted)[k, c*F+f] =
     # dout[k, f] -> tile the F-block 8 times
     drows = jnp.tile(dout.reshape(M * L, F), (1, 8))
-    dweighted = drows * wexp  # (M*L, 8F)
+    dweighted = drows * _wexp(w8, layout)  # (M*L, 8F)
     dtable = jnp.zeros(
         (layout.n_rows, layout.row_width), jnp.float32
     ).at[idx.reshape(-1)].add(dweighted)

@@ -29,6 +29,15 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 1).bit_length()
 
 
+def _bucket(x: int) -> int:
+    """Round up to {2^k, 1.5*2^k}: finer than pow2 so the packed field eval
+    wastes at most ~33% headroom instead of ~100%."""
+    p = _next_pow2(x)
+    if x <= (p // 4) * 3:
+        return (p // 4) * 3
+    return p
+
+
 class Trainer:
     def __init__(
         self,
@@ -50,14 +59,18 @@ class Trainer:
         self.state = self.state._replace(occupancy=occupancy)
         self.sample_cap = cfg.render.train_sample_cap
         # packed field eval from step 0: warmup batches measure ~180-300
-        # samples/ray on synthetic scenes, far below the dense S=1024 slab
+        # samples/ray on synthetic scenes, far below the dense S=1024 slab.
+        # hard 2M-sample ceiling: the encoder's (M*L, 8F) working set at 4M
+        # packed samples exceeds 16 GB HBM alongside the optimizer state
         self.pack_cap = min(
             _next_pow2(cfg.train.batch_size * 384),
             cfg.train.batch_size * self.sample_cap,
+            2 * 1024 * 1024,
         )
         self.step = 0
         self._pending_counts_max = None
         self._pending_rm_samples = None
+        self._pack_shrink_votes = 0
 
     def _adapt_sample_cap(self):
         """Resize the marching/packing buckets from the last step's counts."""
@@ -77,10 +90,21 @@ class Trainer:
         # packed eval pays off once the dense grid is mostly padding; 2x
         # headroom over the observed batch total, pow2-bucketed
         n_dense = self.cfg.train.batch_size * self.sample_cap
-        proposed_pack = _next_pow2(max(2 * rm_samples, 1024))
-        if proposed_pack < n_dense:
+        proposed_pack = min(
+            _bucket(max(int(1.25 * rm_samples), 1024)), 2 * 1024 * 1024
+        )
+        # only shrink through a persistently lower bucket (hysteresis keeps
+        # recompiles rare); grow immediately on overflow
+        if proposed_pack > (self.pack_cap or 0):
             self.pack_cap = proposed_pack
+        elif proposed_pack < (self.pack_cap or n_dense):
+            self._pack_shrink_votes += 1
+            if self._pack_shrink_votes >= 4:
+                self.pack_cap = proposed_pack
+                self._pack_shrink_votes = 0
         else:
+            self._pack_shrink_votes = 0
+        if self.pack_cap is not None and self.pack_cap >= n_dense:
             self.pack_cap = None
 
     def run_step(self):
