@@ -62,6 +62,13 @@ def ssim(
     sigma_xx = _filter2d(pred * pred, kernel) - mu_xx
     sigma_yy = _filter2d(gt * gt, kernel) - mu_yy
     sigma_xy = _filter2d(pred * gt, kernel) - mu_xy
+    # fp32 cancellation on flat regions can make the one-pass variances
+    # slightly negative (and |cov| > sqrt(var*var)), inflating SSIM past 1;
+    # project back into the mathematically valid region
+    sigma_xx = jnp.maximum(sigma_xx, 0.0)
+    sigma_yy = jnp.maximum(sigma_yy, 0.0)
+    bound = jnp.sqrt(sigma_xx * sigma_yy)
+    sigma_xy = jnp.clip(sigma_xy, -bound, bound)
 
     num = (2 * mu_xy + c1) * (2 * sigma_xy + c2)
     den = (mu_xx + mu_yy + c1) * (sigma_xx + sigma_yy + c2)

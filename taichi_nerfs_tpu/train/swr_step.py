@@ -1,0 +1,208 @@
+"""Training on the shear-warp renderer — image-crop SGD, fully dense.
+
+Where the sample-gather path draws random *rays* (reference
+datasets/base.py:34-61), the dense path draws a random training image and a
+random square crop each step (a crop of a pinhole image is a pinhole image
+with shifted principal point), renders it with the shear-warp renderer, and
+takes the MSE against the ground-truth crop.  Everything — bake, sweep,
+composite, MLP, backward — is dense streaming/MXU work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import pyramid as pyr
+from ..render.swr import render_swr_fixed_axis
+
+
+@dataclasses.dataclass(frozen=True)
+class SwrTrainConfig:
+    crop: int = 128  # square crop side (rays per step = crop^2)
+    lr: float = 1e-2
+    lr_final_ratio: float = 1 / 30  # cosine floor (train.py:159-163)
+    max_steps: int = 4000
+    weight_decay: float = 0.0
+    n_chunks: int = 16
+    dist_min: float = 0.35
+    white_bg: bool = True
+    # L1 sparsity on baked sigma: empty space stays empty (the dense path
+    # has no occupancy grid; this is its pruning pressure)
+    sigma_l1: float = 1e-6
+
+
+class SwrTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_optimizer(cfg: SwrTrainConfig):
+    sched = optax.cosine_decay_schedule(
+        cfg.lr, cfg.max_steps, alpha=cfg.lr_final_ratio
+    )
+    return optax.adam(sched, eps=1e-15)
+
+
+def create_swr_state(
+    key: jax.Array, mcfg: pyr.PyramidConfig, tcfg: SwrTrainConfig
+) -> SwrTrainState:
+    k1, k2 = jax.random.split(key)
+    params = pyr.init_pyramid_params(k1, mcfg)
+    opt_state = make_optimizer(tcfg).init(params)
+    return SwrTrainState(params=params, opt_state=opt_state, rng=k2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mcfg", "tcfg", "axis", "flip"),
+    donate_argnames=("state",),
+)
+def swr_train_step(
+    state: SwrTrainState,
+    gt_image: jnp.ndarray,  # (H, W, 3)
+    pose: jnp.ndarray,  # (3, 4)
+    K: jnp.ndarray,  # (3, 3)
+    crop_xy: jnp.ndarray,  # (2,) int32 top-left (x, y)
+    mcfg: pyr.PyramidConfig,
+    tcfg: SwrTrainConfig,
+    axis: int,
+    flip: bool,
+) -> Tuple[SwrTrainState, Dict[str, jnp.ndarray]]:
+    c = tcfg.crop
+    x0 = crop_xy[0]
+    y0 = crop_xy[1]
+    gt = jax.lax.dynamic_slice(
+        gt_image, (y0, x0, jnp.int32(0)), (c, c, 3)
+    ).reshape(c * c, 3)
+    # crop intrinsics: principal point shifts by the crop offset
+    K_crop = K.at[0, 2].add(-x0.astype(jnp.float32))
+    K_crop = K_crop.at[1, 2].add(-y0.astype(jnp.float32))
+
+    def loss_fn(params):
+        grid = pyr.bake(params, mcfg)
+        out = render_swr_fixed_axis(
+            params,
+            grid,
+            mcfg,
+            pose,
+            K_crop,
+            (c, c),
+            axis,
+            flip,
+            n_chunks=tcfg.n_chunks,
+            dist_min=tcfg.dist_min,
+            white_bg=tcfg.white_bg,
+        )
+        mse = jnp.mean((out["rgb"] - gt) ** 2)
+        loss = mse
+        if tcfg.sigma_l1 > 0:
+            loss = loss + tcfg.sigma_l1 * jnp.mean(grid[..., 0])
+        return loss, mse
+
+    (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    updates, opt_state = make_optimizer(tcfg).update(
+        grads, state.opt_state, state.params
+    )
+    params = optax.apply_updates(state.params, updates)
+    rng, _ = jax.random.split(state.rng)
+    metrics = {"loss": loss, "psnr": -10.0 * jnp.log10(mse)}
+    return SwrTrainState(params, opt_state, rng), metrics
+
+
+class SwrTrainer:
+    """Host loop: image/crop sampling + static axis selection per pose."""
+
+    def __init__(
+        self,
+        mcfg: pyr.PyramidConfig,
+        tcfg: SwrTrainConfig,
+        images: np.ndarray,  # (N, H*W, 3)
+        poses: np.ndarray,  # (N, 3, 4)
+        K: np.ndarray,
+        img_wh: Tuple[int, int],
+        seed: int = 23,
+    ):
+        self.mcfg, self.tcfg = mcfg, tcfg
+        w, h = img_wh
+        self.images = jnp.asarray(
+            np.asarray(images, np.float32).reshape(-1, h, w, 3)
+        )
+        self.poses_np = np.asarray(poses, np.float32)
+        self.poses = jnp.asarray(self.poses_np)
+        self.K = jnp.asarray(K, jnp.float32)
+        self.img_wh = img_wh
+        self.state = create_swr_state(jax.random.PRNGKey(seed), mcfg, tcfg)
+        self._host_rng = np.random.RandomState(seed)
+        # static sweep parameters per training pose
+        self._axis_flip = []
+        for p in self.poses_np:
+            a = int(np.argmax(np.abs(p[:, 2])))
+            self._axis_flip.append((a, bool(p[a, 3] > 0)))
+        self.step = 0
+
+    def run_step(self):
+        w, h = self.img_wh
+        c = self.tcfg.crop
+        i = self._host_rng.randint(len(self.poses_np))
+        x0 = self._host_rng.randint(max(w - c, 0) + 1)
+        y0 = self._host_rng.randint(max(h - c, 0) + 1)
+        axis, flip = self._axis_flip[i]
+        self.state, metrics = swr_train_step(
+            self.state,
+            self.images[i],
+            self.poses[i],
+            self.K,
+            jnp.asarray([x0, y0], jnp.int32),
+            self.mcfg,
+            self.tcfg,
+            axis,
+            flip,
+        )
+        self.step += 1
+        return metrics
+
+    def fit(self, max_steps=None, log_every: int = 500, log_fn=print):
+        import time
+
+        max_steps = max_steps or self.tcfg.max_steps
+        tic = time.time()
+        m = None
+        for _ in range(max_steps):
+            m = self.run_step()
+            if (self.step - 1) % log_every == 0:
+                mm = jax.device_get(m)
+                log_fn(
+                    f"elapsed_time={time.time() - tic:.2f}s | "
+                    f"step={self.step - 1} | "
+                    f"psnr={float(mm['psnr']):.2f} | "
+                    f"loss={float(mm['loss']):.6f}"
+                )
+        return m
+
+    def render(self, pose, K=None, img_wh=None):
+        from ..render.swr import render_swr
+
+        grid = jax.jit(pyr.bake, static_argnames="cfg")(
+            self.state.params, self.mcfg
+        )
+        return render_swr(
+            self.state.params,
+            grid,
+            self.mcfg,
+            pose,
+            self.K if K is None else K,
+            img_wh or self.img_wh,
+            n_chunks=self.tcfg.n_chunks,
+            dist_min=self.tcfg.dist_min,
+            white_bg=self.tcfg.white_bg,
+        )
