@@ -27,8 +27,8 @@ def get_opts(prefix_args=None):
 
     # model parameters
     parser.add_argument("--model_name", type=str, default="ngp",
-                        choices=["ngp", "svox"],
-                        help="which model to train/test")
+                        choices=["ngp", "svox", "pyramid"],
+                        help="which model to train/test (pyramid = dense grid on the gather-free shear-warp renderer, TPU flagship)")
     parser.add_argument("--scale", type=float, default=0.5,
                         help="scene scale (whole scene must lie in "
                              "[-scale, scale]^3")

@@ -142,6 +142,43 @@ def resample_affine_2d(
     )
 
 
+def interp_matrix(
+    start: jnp.ndarray,
+    step: jnp.ndarray,
+    n: int,
+    out_len: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Dense (n, out_len) linear-interpolation matrix.
+
+    ``W[m, i] = hat(m - (start + i*step))`` — applying it contracts the
+    source axis: ``out = x @ W`` reproduces the affine resample with
+    zero-padding semantics.  At moderate sizes (n, out_len <= ~512) the
+    banded structure is cheaper to *ignore*: two dense MXU matmuls per slab
+    beat a ~100-stage roll-select chain in both compile and run time (the
+    roll-select path remains for large grids where n^3 matmul cost bites).
+    """
+    m = jnp.arange(n, dtype=jnp.float32)[:, None]
+    pos = start + jnp.arange(out_len, dtype=jnp.float32)[None, :] * step
+    return jnp.maximum(0.0, 1.0 - jnp.abs(m - pos)).astype(dtype)
+
+
+def resample_matmul(
+    x: jnp.ndarray,
+    start: jnp.ndarray,
+    step: jnp.ndarray,
+    out_len: int,
+    axis: int,
+) -> jnp.ndarray:
+    """Affine 1D resample along ``axis`` as one MXU matmul."""
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    w = interp_matrix(start, step, n, out_len)
+    out = jnp.tensordot(x, w, axes=([axis], [0]))
+    # tensordot moves the contracted axis to the end; restore position
+    return jnp.moveaxis(out, -1, axis)
+
+
 # kept for callers that can bound ``start`` statically (legacy helper)
 def drift_window(
     start_min: float, start_max: float, step_min: float, step_max: float,

@@ -2,31 +2,35 @@
 
 Renders a pinhole view of a dense feature grid by sweeping it slab-by-slab
 along the dominant view axis (object-order shear-warp, perspective variant —
-see docs/shear_warp.md).  Every operation is a dense slice, roll-select
-resample (ops/warp.py), cumulative composite, or MXU matmul; the single
-gather in the pipeline is the final intermediate-frame -> pixel warp
-(one bilinear gather per pixel).
+see docs/shear_warp.md).  Every operation is a dense slice, an affine
+resample (one MXU matmul per axis, or a roll-select cascade for large
+grids), a cumulative composite, or a batched MLP matmul; the single gather
+in the pipeline is the final intermediate-frame -> pixel warp (one bilinear
+gather per pixel).
 
 Geometry
 --------
 Scene cube ``[-s, s]^3``, grid ``(R, R, R, F)`` with voxel centers at
 ``-s + (i + 0.5) * h`` (``h = 2s/R``).  For a camera at ``o`` with dominant
-axis ``a``: slab ``k`` lives on the world plane ``z_k``; projecting a slab
-point ``p`` toward the eye onto a reference plane ``z_ref`` gives
+axis ``a``: slab ``k`` lives on the world plane ``z_k``; the ray through a
+point ``p`` on that slab crosses any reference plane ``z_ref`` at
 ``q = o + (p - o) * rho`` with ``rho = (z_ref - o_a)/(z_k - o_a)`` — affine
-per slab, hence two 1D affine resamples.  Slabs composite front-to-back in
-per-chunk intermediate frames (chunking keeps ``|step - 1|`` small for the
-roll-select window); chunk frames fold into a global frame at the cube
-center plane, and one final projective warp lands on pixels.
+per slab, hence two separable 1D affine resamples per slab.
 
-Restrictions (v1): the camera must be outside the cube along the dominant
-axis (``|o_a| > s + margin``) — true for the synthetic-NeRF/NSVF rigs.  The
+The intermediate lattices are rectangular grids that *tightly cover the
+view frustum's footprint* on each reference plane (origin/spacing are
+traced functions of the camera, so one compiled program serves every pose
+with the same static axis/flip): slabs composite front-to-back in per-chunk
+frames, chunk frames fold into a global frame on the cube-center plane, and
+one final projective bilinear warp lands on pixels.
+
+Restrictions: the camera must be outside the cube along the dominant axis
+(``|o_a| > s + margin``) — true for synthetic-NeRF/NSVF rigs.  The
 general-camera path remains the sample renderer (``renderer.py``).
 """
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Dict, Tuple
 
@@ -34,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import pyramid as pyr
-from ..ops.warp import resample_affine, residual_window
+from ..ops.warp import resample_matmul
 
 
 @partial(
@@ -45,8 +49,7 @@ from ..ops.warp import resample_affine, residual_window
         "axis",
         "flip",
         "n_chunks",
-        "q_pad",
-        "dist_min",
+        "lat_pad",
         "white_bg",
         "debug_frames",
     ),
@@ -61,8 +64,7 @@ def render_swr_fixed_axis(
     axis: int,
     flip: bool,
     n_chunks: int = 16,
-    q_pad: int | None = None,
-    dist_min: float = 0.35,
+    lat_pad: int = 16,
     white_bg: bool = True,
     debug_frames: bool = False,
 ) -> Dict[str, jnp.ndarray]:
@@ -73,19 +75,15 @@ def render_swr_fixed_axis(
         grid: baked (R, R, R, F) grid, world-indexed [x, y, z].
         axis: static dominant world axis (0/1/2).
         flip: static — the camera sits on the +axis side (sweep descending).
-        q_pad: lattice margin cells (cube content expands toward the eye
-            when projected to the center plane); default R//2, making the
-            lattice 2R — lane-tiling friendly.
-        dist_min: static lower bound on |o_axis| - s used to size the
-            roll-select windows; cameras closer than this are out of spec.
+        lat_pad: extra lattice cells beyond the pixel count (interpolation
+            margin); the lattice is ``max(img_wh) + lat_pad`` square.
     """
     s = cfg.scale
     R = cfg.grid_res
     F = cfg.features
     h = 2.0 * s / R
-    if q_pad is None:
-        q_pad = R // 2
     w_img, h_img = img_wh
+    nq = max(w_img, h_img) + lat_pad
 
     b_axis, c_axis = [d for d in range(3) if d != axis]
     # vol: (D, F, Rb, Rc) — channel-leading minor block keeps (sublane,
@@ -99,29 +97,58 @@ def render_swr_fixed_axis(
     o = pose[:, 3]
     o_a, o_b, o_c = o[axis], o[b_axis], o[c_axis]
 
-    # intermediate lattice (shared extent for every frame)
-    nq = R + 2 * q_pad
-    q0 = -s + (0.5 - q_pad) * h
-    qb = q0 + jnp.arange(nq, dtype=jnp.float32) * h  # world b coords
-    qc = q0 + jnp.arange(nq, dtype=jnp.float32) * h
+    # frustum corner-ray slopes: q(z) = o_bc + (z - o_a) * slope
+    cu = jnp.asarray([0.0, w_img - 1.0])
+    cv = jnp.asarray([0.0, h_img - 1.0])
+    uu, vv = jnp.meshgrid(cu, cv, indexing="xy")
+    corner_cam = jnp.stack(
+        [
+            (uu - K[0, 2] + 0.5) / K[0, 0],
+            (vv - K[1, 2] + 0.5) / K[1, 1],
+            jnp.ones_like(uu),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    corner_w = corner_cam @ pose[:, :3].T  # (4, 3) world dirs
+    slope_b = corner_w[:, b_axis] / corner_w[:, axis]
+    slope_c = corner_w[:, c_axis] / corner_w[:, axis]
+    sb_lo, sb_hi = jnp.min(slope_b), jnp.max(slope_b)
+    sc_lo, sc_hi = jnp.min(slope_c), jnp.max(slope_c)
 
-    # static roll-select windows
-    d_chunk = (R // n_chunks) * h
-    delta_slab = (0.5 * d_chunk + h) / dist_min
-    win_slab = residual_window(1.0 - delta_slab, 1.0 + delta_slab, nq)
-    delta_glob = (s + h) / dist_min
-    win_glob = residual_window(
-        1.0 / (1.0 + delta_glob), 1.0 + delta_glob, nq
-    )
+    def frame_at(z_ref):
+        """Lattice origin/spacing covering the frustum at plane z_ref."""
+        za = z_ref - o_a
+        # za's sign decides which slope end is the minimum
+        b0 = o_b + za * jnp.where(za >= 0, sb_lo, sb_hi)
+        b1 = o_b + za * jnp.where(za >= 0, sb_hi, sb_lo)
+        c0 = o_c + za * jnp.where(za >= 0, sc_lo, sc_hi)
+        c1 = o_c + za * jnp.where(za >= 0, sc_hi, sc_lo)
+        db = (b1 - b0) / (nq - 1 - lat_pad)
+        dc = (c1 - c0) / (nq - 1 - lat_pad)
+        # center the margin
+        return (
+            b0 - db * (lat_pad // 2),
+            db,
+            c0 - dc * (lat_pad // 2),
+            dc,
+        )
 
-    dc = R // n_chunks
-    vol_c = vol.reshape(n_chunks, dc, F, R, R)
-    zs_c = zs.reshape(n_chunks, dc)
+    dc_slabs = R // n_chunks
+    vol_c = vol.reshape(n_chunks, dc_slabs, F, R, R)
+    zs_c = zs.reshape(n_chunks, dc_slabs)
+
+    # global frame on the cube-center plane
+    g_b0, g_db, g_c0, g_dc = frame_at(jnp.float32(0.0))
+
+    lat_i = jnp.arange(nq, dtype=jnp.float32)
 
     def chunk_body(carry, inp):
         rgb_g, depth_g, t_g = carry
         slabs, z_slabs = inp
         z_ref = jnp.mean(z_slabs)
+        f_b0, f_db, f_c0, f_dc = frame_at(z_ref)
+        qb = f_b0 + lat_i * f_db  # (nq,) world b coords on this frame
+        qc = f_c0 + lat_i * f_dc
 
         # rays through the chunk lattice: P = (z_ref at axis, qb, qc)
         vb = qb[:, None] - o_b  # (nq, 1)
@@ -141,16 +168,14 @@ def render_swr_fixed_axis(
             rgb_acc, depth_acc, t_acc = carry_s
             slab, z_k = inp_s  # (F, R, R), ()
             rho = (z_ref - o_a) / (z_k - o_a)
-            step = 1.0 / rho
-            # source index m(i) = (o_b + (q_i - o_b)/rho + s)/h - 0.5
+            # source index of lattice i: m(i) = (p_b + s)/h - 1/2 with
+            # p_b = o_b + (q_i - o_b)/rho
             start_b = (o_b + (qb[0] - o_b) / rho + s) / h - 0.5
             start_c = (o_c + (qc[0] - o_c) / rho + s) / h - 0.5
-            sq = resample_affine(
-                slab, start_b, step, nq, win_slab[0], win_slab[1], axis=1
-            )
-            sq = resample_affine(
-                sq, start_c, step, nq, win_slab[0], win_slab[1], axis=2
-            )  # (F, nq, nq)
+            step_b = f_db / (rho * h)
+            step_c = f_dc / (rho * h)
+            sq = resample_matmul(slab, start_b, step_b, nq, axis=1)
+            sq = resample_matmul(sq, start_c, step_c, nq, axis=2)
             slab_q = jnp.moveaxis(sq, 0, -1)  # (nq, nq, F)
             sigma = pyr.density_from_grid(slab_q)
             feats = slab_q[..., 1:]  # (nq, nq, F-1)
@@ -168,16 +193,20 @@ def render_swr_fixed_axis(
             jnp.zeros((nq, nq), jnp.float32),
             jnp.ones((nq, nq), jnp.float32),
         )
+        # remat: without it the backward stores every slab's resampled
+        # frame + MLP activations (~85 GB at R=256); recomputing them per
+        # slab keeps the live set at the carry size
         (rgb_c, depth_c, t_c), _ = jax.lax.scan(
-            slab_body, init, (slabs, z_slabs)
+            jax.checkpoint(slab_body), init, (slabs, z_slabs)
         )
 
-        # fold the chunk frame into the global frame (cube-center plane):
-        # q_global -> q_chunk scale = (z_ref - o_a)/(0 - o_a)
-        rho_g = (0.0 - o_a) / (z_ref - o_a)
-        step_g = 1.0 / rho_g
-        start_g = (o_b + (qb[0] - o_b) / rho_g + s) / h - 0.5 + q_pad
-        start_gc = (o_c + (qc[0] - o_c) / rho_g + s) / h - 0.5 + q_pad
+        # fold this chunk's frame into the global frame: the ray at global
+        # lattice q_g crosses the chunk plane at q_c = o + (q_g - o)*rho_cg
+        rho_cg = (z_ref - o_a) / (0.0 - o_a)
+        start_b = (o_b * (1 - rho_cg) + g_b0 * rho_cg - f_b0) / f_db
+        step_b = g_db * rho_cg / f_db
+        start_c = (o_c * (1 - rho_cg) + g_c0 * rho_cg - f_c0) / f_dc
+        step_c = g_dc * rho_cg / f_dc
         packed = jnp.concatenate(
             [
                 jnp.moveaxis(rgb_c, -1, 0),
@@ -186,12 +215,8 @@ def render_swr_fixed_axis(
             ],
             axis=0,
         )  # (5, nq, nq)
-        packed = resample_affine(
-            packed, start_g, step_g, nq, win_glob[0], win_glob[1], axis=1
-        )
-        packed = resample_affine(
-            packed, start_gc, step_g, nq, win_glob[0], win_glob[1], axis=2
-        )
+        packed = resample_matmul(packed, start_b, step_b, nq, axis=1)
+        packed = resample_matmul(packed, start_c, step_c, nq, axis=2)
         rgb_w = jnp.moveaxis(packed[:3], 0, -1)
         depth_w = packed[3]
         t_w = 1.0 - packed[4]
@@ -207,7 +232,7 @@ def render_swr_fixed_axis(
         jnp.ones((nq, nq), jnp.float32),
     )
     (rgb_g, depth_g, t_g), chunk_dbg = jax.lax.scan(
-        chunk_body, init_g, (vol_c, zs_c)
+        jax.checkpoint(chunk_body), init_g, (vol_c, zs_c)
     )
 
     # final projective warp: pixel -> global-frame lattice coords
@@ -227,8 +252,8 @@ def render_swr_fixed_axis(
     t_hit = (0.0 - o_a) / da
     pb = o_b + t_hit * dir_w[..., b_axis]
     pc = o_c + t_hit * dir_w[..., c_axis]
-    li = (pb + s) / h - 0.5 + q_pad
-    lj = (pc + s) / h - 0.5 + q_pad
+    li = (pb - g_b0) / g_db
+    lj = (pc - g_c0) / g_dc
     behind = t_hit <= 0.0
 
     img = jnp.concatenate(
@@ -279,6 +304,7 @@ def render_swr(
     """Host wrapper: picks the dominant sweep axis from the concrete pose."""
     import numpy as np
 
+    kw.pop("dist_min", None)  # legacy knob of the roll-select variant
     pose = jnp.asarray(pose, jnp.float32)
     fwd = np.asarray(pose[:, 2])
     axis = int(np.argmax(np.abs(fwd)))

@@ -31,7 +31,6 @@ class SwrTrainConfig:
     max_steps: int = 4000
     weight_decay: float = 0.0
     n_chunks: int = 16
-    dist_min: float = 0.35
     white_bg: bool = True
     # L1 sparsity on baked sigma: empty space stays empty (the dense path
     # has no occupancy grid; this is its pruning pressure)
@@ -98,7 +97,6 @@ def swr_train_step(
             axis,
             flip,
             n_chunks=tcfg.n_chunks,
-            dist_min=tcfg.dist_min,
             white_bg=tcfg.white_bg,
         )
         mse = jnp.mean((out["rgb"] - gt) ** 2)
@@ -203,6 +201,5 @@ class SwrTrainer:
             self.K if K is None else K,
             img_wh or self.img_wh,
             n_chunks=self.tcfg.n_chunks,
-            dist_min=self.tcfg.dist_min,
             white_bg=self.tcfg.white_bg,
         )

@@ -134,7 +134,7 @@ def test_swr_matches_oracle(setup, eye):
         np.asarray(eye, np.float64), np.zeros(3), np.array([0.0, 0.0, 1.0])
     ).astype(np.float64)
     out = render_swr(
-        params, grid, cfg, pose, K, (w, h), n_chunks=8, dist_min=0.3
+        params, grid, cfg, pose, K, (w, h), n_chunks=8
     )
     got = np.asarray(out["rgb"])
     want = _oracle(

@@ -17,7 +17,7 @@ def test_swr_training_improves():
         resolutions=(8, 16), features=4, rgb_width=16, scale=0.5
     )
     tcfg = SwrTrainConfig(
-        crop=32, lr=5e-2, max_steps=40, n_chunks=4, dist_min=0.3,
+        crop=32, lr=5e-2, max_steps=40, n_chunks=4,
         sigma_l1=0.0,
     )
     trainer = SwrTrainer(

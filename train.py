@@ -43,6 +43,10 @@ def main():
         downsample=hparams.downsample,
     )
 
+    if hparams.model_name == "pyramid":
+        _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir)
+        return
+
     state = create_train_state(cfg)
     start_step = 0
     if hparams.ckpt_path:
@@ -96,6 +100,78 @@ def main():
             test_dataset.img_wh,
             np.asarray(test_dataset.poses),
         ).render()
+
+
+def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
+    """Dense-pyramid model on the shear-warp renderer (docs/shear_warp.md).
+
+    The TPU-native flagship for outside-looking-in scenes: no random access
+    anywhere in the train step.
+    """
+    import jax
+
+    from taichi_nerfs_tpu.models.pyramid import PyramidConfig
+    from taichi_nerfs_tpu.train.metrics import psnr as psnr_fn
+    from taichi_nerfs_tpu.train.metrics import ssim as ssim_fn
+    from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
+
+    mcfg = PyramidConfig(scale=hparams.scale)
+    tcfg = SwrTrainConfig(
+        lr=hparams.lr,
+        max_steps=hparams.max_steps,
+        white_bg=(hparams.scale <= 0.5),
+    )
+    trainer = SwrTrainer(
+        mcfg,
+        tcfg,
+        train_dataset.rays,
+        train_dataset.poses,
+        train_dataset.K,
+        train_dataset.img_wh,
+    )
+    if not hparams.val_only:
+        tic = time.time()
+        trainer.fit(hparams.max_steps)
+        print(f"training done in {time.time() - tic:.1f}s")
+
+    os.makedirs(val_dir, exist_ok=True)
+    flat = jax.device_get(trainer.state.params)
+    np.savez(
+        os.path.join(val_dir, "model_pyramid.npz"),
+        **{f"level_{i}": g for i, g in enumerate(flat["levels"])},
+        **{f"rgb_mlp_{k}": v for k, v in flat["rgb_mlp"].items()},
+    )
+
+    w, h = test_dataset.img_wh
+    psnrs, ssims = [], []
+    for i in range(len(test_dataset)):
+        sample = test_dataset[i]
+        out = trainer.render(sample["pose"], K=None, img_wh=(w, h))
+        if "rgb" in sample:
+            gt = np.asarray(sample["rgb"])
+            rgb = np.asarray(out["rgb"])
+            psnrs.append(float(psnr_fn(rgb, gt)))
+            ssims.append(
+                float(ssim_fn(rgb.reshape(h, w, 3), gt.reshape(h, w, 3)))
+            )
+        if i == 0:
+            import imageio.v2 as imageio
+
+            from taichi_nerfs_tpu.utils.viz import depth2img
+
+            rgb_img = (
+                np.clip(np.asarray(out["rgb"]).reshape(h, w, 3), 0, 1) * 255
+            ).astype(np.uint8)
+            imageio.imsave(os.path.join(val_dir, "rgb_000.png"), rgb_img)
+            imageio.imsave(
+                os.path.join(val_dir, "depth_000.png"),
+                depth2img(np.asarray(out["depth"]).reshape(h, w)),
+            )
+    if psnrs:
+        print(
+            f"evaluation: psnr_avg={np.mean(psnrs):.4f} | "
+            f"ssim_avg={np.mean(ssims):.4f}"
+        )
 
 
 if __name__ == "__main__":
