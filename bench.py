@@ -1,60 +1,63 @@
-"""Benchmark: steady-state training throughput on the flagship NGP config.
+"""Benchmark: steady-state training throughput on the TPU flagship path.
 
 Prints ONE JSON line.  Baseline: the reference trains Lego (batch 8192,
 20000 steps) in 208 s on an RTX 3090 (README.md:33-37) — an effective
-training throughput of 8192 * 20000 / 208 = 787,692 rays/s.  This benchmark
-trains the flagship config (hash 16 levels, 2^19 entries, 128^3 occupancy
-grid) on the built-in synthetic scene until the occupancy grid reaches
-steady state, then times full train steps end-to-end.
+training throughput of 8192 * 20000 / 208 = 787,692 rays/s.
+
+The flagship is the dense shear-warp pipeline (docs/shear_warp.md): a
+256^3x8 feature pyramid trained on 128^2 image crops — every train-step op
+is dense streaming or an MXU matmul (no gathers/scatters), which is what a
+TPU is actually fast at.  The scene is the built-in procedural
+high-frequency checker solid (no dataset download needed).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+import numpy as np
 
 
 def main():
-    from taichi_nerfs_tpu.config import config_for_scene
     from taichi_nerfs_tpu.data.synthetic import SyntheticSphereDataset
-    from taichi_nerfs_tpu.train import Trainer
+    from taichi_nerfs_tpu.models.pyramid import PyramidConfig
+    from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
 
-    cfg = config_for_scene(scale=0.5)
-    # cache the oracle-rendered scene (single-core numpy, ~1 min to build)
-    import os
-
-    import numpy as np
-
-    cache = "/tmp/tnerf_bench_scene_v1.npz"
+    cache = "/tmp/tnerf_bench_checker_v2.npz"
     if os.path.exists(cache):
-        scene = SyntheticSphereDataset(n_images=1, img_wh=(128, 128))
-        data = np.load(cache)
-        scene.rays, scene.poses = data["rays"], data["poses"]
+        scene = SyntheticSphereDataset(
+            n_images=1, img_wh=(128, 128), variant="checker"
+        )
+        d = np.load(cache)
+        scene.rays, scene.poses = d["rays"], d["poses"]
     else:
-        scene = SyntheticSphereDataset(n_images=16, img_wh=(128, 128))
+        scene = SyntheticSphereDataset(
+            n_images=24, img_wh=(128, 128), variant="checker", n_steps=512
+        )
         np.savez(cache, rays=scene.rays, poses=scene.poses)
-    trainer = Trainer(
-        cfg, scene.as_batch(), scene.K, scene.img_wh, log_fn=lambda *_: None
+
+    mcfg = PyramidConfig(resolutions=(32, 64, 128, 256), features=8)
+    tcfg = SwrTrainConfig(crop=128, lr=2e-2, max_steps=20000, n_chunks=16)
+    trainer = SwrTrainer(
+        mcfg, tcfg, scene.rays, scene.poses, scene.K, scene.img_wh
     )
 
-    # converge the occupancy grid + settle the sample-cap bucket
-    warm_steps = 450
-    for _ in range(warm_steps):
-        trainer.run_step()
-    jax.block_until_ready(trainer.state.params)
+    # warm every (axis, flip) program + settle compile caches
+    for _ in range(60):
+        m = trainer.run_step()
+    jax.block_until_ready(m["loss"])
 
-    # timed steady-state steps
     n_timed = 200
     t0 = time.perf_counter()
-    m = None
     for _ in range(n_timed):
         m = trainer.run_step()
     jax.block_until_ready(m["loss"])
     elapsed = time.perf_counter() - t0
 
-    rays_per_sec = cfg.train.batch_size * n_timed / elapsed
+    rays_per_sec = tcfg.crop**2 * n_timed / elapsed
     baseline = 8192 * 20000 / 208.0  # reference Lego throughput
     print(
         json.dumps(

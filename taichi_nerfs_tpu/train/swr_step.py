@@ -35,6 +35,10 @@ class SwrTrainConfig:
     # L1 sparsity on baked sigma: empty space stays empty (the dense path
     # has no occupancy grid; this is its pruning pressure)
     sigma_l1: float = 1e-6
+    # total-variation regularization per pyramid level (the dense grid's
+    # defence against floater overfitting, as in Plenoxels/DVGO); scaled by
+    # each level's cell size so all levels feel comparable pressure
+    tv_w: float = 1e-4
 
 
 class SwrTrainState(NamedTuple):
@@ -103,6 +107,13 @@ def swr_train_step(
         loss = mse
         if tcfg.sigma_l1 > 0:
             loss = loss + tcfg.sigma_l1 * jnp.mean(grid[..., 0])
+        if tcfg.tv_w > 0:
+            tv = 0.0
+            for g in params["levels"]:
+                for ax in range(3):
+                    d = jnp.diff(g, axis=ax)
+                    tv = tv + jnp.mean(d * d)
+            loss = loss + tcfg.tv_w * tv
         return loss, mse
 
     (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
