@@ -169,13 +169,25 @@ def resample_matmul(
     step: jnp.ndarray,
     out_len: int,
     axis: int,
+    dtype=None,
 ) -> jnp.ndarray:
-    """Affine 1D resample along ``axis`` as one MXU matmul."""
+    """Affine 1D resample along ``axis`` as one MXU matmul.
+
+    ``dtype`` sets the matmul operand precision (e.g. bfloat16); results
+    accumulate in fp32 via ``preferred_element_type``.
+    """
     axis = axis % x.ndim
     n = x.shape[axis]
-    w = interp_matrix(start, step, n, out_len)
-    out = jnp.tensordot(x, w, axes=([axis], [0]))
-    # tensordot moves the contracted axis to the end; restore position
+    w = interp_matrix(start, step, n, out_len, dtype=dtype or x.dtype)
+    out = jax.lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((axis,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dtype is not None:
+        out = out.astype(dtype)
+    # the contracted axis lands at the end; restore position
     return jnp.moveaxis(out, -1, axis)
 
 

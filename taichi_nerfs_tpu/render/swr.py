@@ -174,6 +174,9 @@ def render_swr_fixed_axis(
             start_c = (o_c + (qc[0] - o_c) / rho + s) / h - 0.5
             step_b = f_db / (rho * h)
             step_c = f_dc / (rho * h)
+            # fp32 operands measured faster than bf16 here: the resample
+            # matmuls are bandwidth-shaped (skinny), so the casts cost more
+            # than the MXU saves
             sq = resample_matmul(slab, start_b, step_b, nq, axis=1)
             sq = resample_matmul(sq, start_c, step_c, nq, axis=2)
             slab_q = jnp.moveaxis(sq, 0, -1)  # (nq, nq, F)

@@ -34,11 +34,11 @@ class SwrTrainConfig:
     white_bg: bool = True
     # L1 sparsity on baked sigma: empty space stays empty (the dense path
     # has no occupancy grid; this is its pruning pressure)
-    sigma_l1: float = 1e-6
+    sigma_l1: float = 1e-5
     # total-variation regularization per pyramid level (the dense grid's
     # defence against floater overfitting, as in Plenoxels/DVGO); scaled by
     # each level's cell size so all levels feel comparable pressure
-    tv_w: float = 1e-4
+    tv_w: float = 3e-3
 
 
 class SwrTrainState(NamedTuple):
@@ -89,6 +89,8 @@ def swr_train_step(
     K_crop = K.at[0, 2].add(-x0.astype(jnp.float32))
     K_crop = K_crop.at[1, 2].add(-y0.astype(jnp.float32))
 
+    rng, k_tv = jax.random.split(state.rng)
+
     def loss_fn(params):
         grid = pyr.bake(params, mcfg)
         out = render_swr_fixed_axis(
@@ -109,10 +111,20 @@ def swr_train_step(
             loss = loss + tcfg.sigma_l1 * jnp.mean(grid[..., 0])
         if tcfg.tv_w > 0:
             tv = 0.0
-            for g in params["levels"]:
+            for g in params["levels"][:-1]:
                 for ax in range(3):
                     d = jnp.diff(g, axis=ax)
                     tv = tv + jnp.mean(d * d)
+            # finest level dominates the cost: sample a random slab window
+            # each step (Plenoxels-style stochastic TV, ~1/4 the traffic)
+            fine = params["levels"][-1]
+            rf = fine.shape[0]
+            win = max(rf // 4, 2)
+            s0 = jax.random.randint(k_tv, (), 0, rf - win + 1)
+            sl = jax.lax.dynamic_slice_in_dim(fine, s0, win, axis=0)
+            for ax in range(3):
+                d = jnp.diff(sl, axis=ax)
+                tv = tv + jnp.mean(d * d)
             loss = loss + tcfg.tv_w * tv
         return loss, mse
 
@@ -123,7 +135,6 @@ def swr_train_step(
         grads, state.opt_state, state.params
     )
     params = optax.apply_updates(state.params, updates)
-    rng, _ = jax.random.split(state.rng)
     metrics = {"loss": loss, "psnr": -10.0 * jnp.log10(mse)}
     return SwrTrainState(params, opt_state, rng), metrics
 
