@@ -107,10 +107,20 @@ def config_from_opts(hparams):
     )
     if hparams.deployment:
         cfg = cfg.replace(model=deployment_model_config(hparams.scale))
+    import dataclasses as _dc
+
     model = cfg.model.replace(
         name=hparams.model_name,
         pos_encoder_type=hparams.encoder_type,
         mlp_dtype="bfloat16" if hparams.half_opt else cfg.model.mlp_dtype,
+        grid=_dc.replace(
+            cfg.model.grid,
+            table_dtype="bfloat16" if hparams.half_opt else "float32",
+        ),
+        brick=_dc.replace(
+            cfg.model.brick,
+            table_dtype="bfloat16" if hparams.half_opt else "float32",
+        ),
         voxel_grid_size=hparams.grid_size,
         voxel_radius=hparams.grid_radius,
         voxel_sh_degree=hparams.sh_degree,

@@ -26,6 +26,9 @@ class HashGridConfig:
     log2_T: int = 19
     base_res: int = 16
     max_res: int = 1024
+    # "bfloat16" computes the gather/interp in bf16 with fp32 master params
+    # (the reference's half2 variant, hash_encoder_half.py:7-9)
+    table_dtype: str = "float32"
 
     @property
     def log_b(self) -> float:
@@ -51,6 +54,7 @@ class BrickGridConfig:
     log2_rows: int = 17  # hashed-level brick rows (8F params each)
     base_res: int = 16
     max_res: int = 1024
+    table_dtype: str = "float32"  # "bfloat16" = half2-analogue compute
 
     @property
     def log_b(self) -> float:

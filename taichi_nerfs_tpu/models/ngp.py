@@ -91,8 +91,15 @@ def init_ngp_params(key: jax.Array, cfg: ModelConfig) -> Params:
 
 def _encode_position(params: Params, cfg: ModelConfig, x01: jnp.ndarray):
     if cfg.pos_encoder_type == "hash":
-        return hash_encode(params["hash_table"], x01, build_layout(cfg.grid))
+        table = params["hash_table"]
+        if cfg.grid.table_dtype == "bfloat16":
+            # half2-analogue: bf16 table compute, fp32 master params
+            # (reference hash_encoder_half.py:291-299)
+            table = table.astype(jnp.bfloat16)
+        return hash_encode(table, x01, build_layout(cfg.grid))
     if cfg.pos_encoder_type == "brick":
+        # bf16 table compute (half2 analogue) happens inside the encoder's
+        # custom VJP, keyed by layout.table_dtype
         return brick_encode(
             params["brick"], x01, build_brick_layout(cfg.brick)
         )

@@ -64,6 +64,7 @@ class BrickGridLayout:
     corner_offsets: Tuple[int, ...]
     n_corner_params: int  # total dense corner params (rows of F)
     n_rows: int  # total brick rows
+    table_dtype: str = "float32"  # gather/interp compute dtype (half2 analogue)
 
     @property
     def out_dim(self) -> int:
@@ -115,6 +116,7 @@ def build_brick_layout(cfg: BrickGridConfig) -> BrickGridLayout:
         corner_offsets=tuple(corner_offsets),
         n_corner_params=corner_off,
         n_rows=row_off,
+        table_dtype=getattr(cfg, "table_dtype", "float32"),
     )
 
 
@@ -246,6 +248,12 @@ def _wexp(w8: jnp.ndarray, layout: BrickGridLayout) -> jnp.ndarray:
 def _encode_impl(params, xyz: jnp.ndarray, layout: BrickGridLayout):
     M = xyz.shape[0]
     L, F = layout.levels, layout.F
+    if layout.table_dtype == "bfloat16":
+        # half2 analogue (reference hash_encoder_half.py:291-299): bf16
+        # table compute, fp32 master params outside the custom VJP
+        params = jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.bfloat16), params
+        )
     table = _full_brick_table(params, layout)  # (n_rows, 8F)
     g, w8 = _cell_and_weights(xyz, layout)
     idx = _row_indices(g, layout)  # (M, L)

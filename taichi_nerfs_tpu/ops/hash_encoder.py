@@ -56,6 +56,7 @@ class HashGridLayout:
     offsets: Tuple[int, ...]
     begin_fast_hash_level: int
     n_entries: int  # total table rows (features are columns)
+    table_dtype: str = "float32"  # compute dtype (half2 analogue)
 
     @property
     def out_dim(self) -> int:
@@ -91,6 +92,7 @@ def build_layout(cfg: HashGridConfig) -> HashGridLayout:
         offsets=tuple(offsets),
         begin_fast_hash_level=begin_fast_hash_level,
         n_entries=offset,
+        table_dtype=getattr(cfg, "table_dtype", "float32"),
     )
 
 
