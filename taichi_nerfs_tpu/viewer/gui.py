@@ -94,6 +94,7 @@ class NGPGUI:
         poses,
         radius: float = 4.5,
         frame_callback: Optional[Callable[[np.ndarray], None]] = None,
+        render_fn: Optional[Callable] = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -105,19 +106,33 @@ class NGPGUI:
         self.dt = 0.0
         self.mean_samples = 0.0
         self.frame_callback = frame_callback
+        # pluggable frame renderer (e.g. the shear-warp pyramid path):
+        # (pose (3,4), K, img_wh) -> {"rgb", "depth", ...}
+        self.render_fn = render_fn
 
     def render_frame(self) -> np.ndarray:
         """One full-image render from the current camera (gui.py:115-145)."""
         t0 = time.time()
-        directions = get_ray_directions(self.cam.H, self.cam.W, self.cam.K)
-        rays_o, rays_d = get_rays(directions, self.cam.pose.astype(np.float32))
-        out = render_image(
-            self.params, self.cfg, self.bitfield, rays_o, rays_d
-        )
+        if self.render_fn is not None:
+            out = self.render_fn(
+                self.cam.pose.astype(np.float32), self.cam.K, (self.W, self.H)
+            )
+        else:
+            directions = get_ray_directions(
+                self.cam.H, self.cam.W, self.cam.K
+            )
+            rays_o, rays_d = get_rays(
+                directions, self.cam.pose.astype(np.float32)
+            )
+            out = render_image(
+                self.params, self.cfg, self.bitfield, rays_o, rays_d
+            )
         rgb = np.asarray(out["rgb"]).reshape(self.H, self.W, 3)
         depth = np.asarray(out["depth"]).reshape(self.H, self.W)
         self.dt = time.time() - t0
-        self.mean_samples = float(out["total_samples"]) / (self.W * self.H)
+        self.mean_samples = float(out.get("total_samples", 0)) / (
+            self.W * self.H
+        )
         if self.img_mode == 0:
             return (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
         return depth2img(depth)

@@ -116,7 +116,9 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
     from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
 
     mcfg = PyramidConfig(scale=hparams.scale)
+    w0, h0 = train_dataset.img_wh
     tcfg = SwrTrainConfig(
+        crop=min(128, w0, h0),
         lr=hparams.lr,
         max_steps=hparams.max_steps,
         white_bg=(hparams.scale <= 0.5),
@@ -172,6 +174,21 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
             f"evaluation: psnr_avg={np.mean(psnrs):.4f} | "
             f"ssim_avg={np.mean(ssims):.4f}"
         )
+
+    if hparams.gui:
+        from taichi_nerfs_tpu.viewer.gui import NGPGUI
+
+        NGPGUI(
+            cfg,
+            trainer.state.params,
+            None,
+            test_dataset.K,
+            test_dataset.img_wh,
+            np.asarray(test_dataset.poses),
+            render_fn=lambda pose, K, wh: trainer.render(
+                pose, K=K, img_wh=wh
+            ),
+        ).render()
 
 
 if __name__ == "__main__":
