@@ -48,13 +48,13 @@ def main():
     # warm every (axis, flip) program + settle compile caches
     for _ in range(60):
         m = trainer.run_step()
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # host readback: the only reliable sync on a tunnel
 
     n_timed = 200
     t0 = time.perf_counter()
     for _ in range(n_timed):
         m = trainer.run_step()
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     elapsed = time.perf_counter() - t0
 
     rays_per_sec = tcfg.crop**2 * n_timed / elapsed

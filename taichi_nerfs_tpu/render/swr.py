@@ -234,8 +234,12 @@ def render_swr_fixed_axis(
         jnp.zeros((nq, nq), jnp.float32),
         jnp.ones((nq, nq), jnp.float32),
     )
+    # no outer remat: the slab scan inside is already checkpointed, so the
+    # per-chunk residuals are just the (nq, nq) frame images — cheap to
+    # store, and re-running the whole slab sweep in backward would double
+    # the heavy work
     (rgb_g, depth_g, t_g), chunk_dbg = jax.lax.scan(
-        jax.checkpoint(chunk_body), init_g, (vol_c, zs_c)
+        chunk_body, init_g, (vol_c, zs_c)
     )
 
     # final projective warp: pixel -> global-frame lattice coords
