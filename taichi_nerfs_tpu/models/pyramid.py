@@ -35,6 +35,12 @@ class PyramidConfig:
     scale: float = 0.5
     # density-logit init bias: start mostly transparent (sigma ~ e^bias)
     sigma_bias: float = -2.0
+    # deferred shading (SNeRG-style): composite *features* along the ray
+    # and run the rgb MLP once per pixel on the accumulated feature vector,
+    # instead of shading every (slab, lattice) sample.  Cuts the sweep's
+    # MLP+SH work by ~n_slabs x; the view-dependent model becomes
+    # MLP(sum w*feats, d) rather than sum w*MLP(feats, d)
+    deferred: bool = False
 
     @property
     def grid_res(self) -> int:
@@ -66,8 +72,31 @@ def init_pyramid_params(key: jax.Array, cfg: PyramidConfig) -> Params:
     }
 
 
+def _upsample_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_in, n_out) trilinear-upsampling band matrix, pixel-center aligned
+    with edge clamping (matches ``jax.image.resize`` linear semantics)."""
+    pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out) - 0.5
+    pos = jnp.clip(pos, 0.0, float(n_in - 1))
+    m = jnp.arange(n_in, dtype=jnp.float32)[:, None]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(m - pos[None, :]))
+
+
+def _upsample3(g: jnp.ndarray, r_out: int) -> jnp.ndarray:
+    """Trilinear-upsample (r, r, r, F) -> (r_out, r_out, r_out, F) as three
+    separable 2-band matmuls (dense streaming / MXU; no gathers)."""
+    w = _upsample_matrix(g.shape[0], r_out)
+    g = jnp.einsum("xyzf,xu->uyzf", g, w)
+    g = jnp.einsum("xyzf,yu->xuzf", g, w)
+    return jnp.einsum("xyzf,zu->xyuf", g, w)
+
+
 def bake(params: Params, cfg: PyramidConfig) -> jnp.ndarray:
     """Fuse the pyramid into one (R, R, R, F) grid (dense streaming).
+
+    Levels are accumulated *progressively* (each level upsampled to the
+    next level's resolution, then added) so the heavy full-resolution pass
+    runs once instead of once per level — ~4x less HBM traffic than
+    resizing every level straight to ``R``.
 
     Channel 0 is exponentiated (TruncExp) at bake time so the baked grid
     carries *sigma*, not its logit: the renderer's resamples zero-pad
@@ -77,19 +106,40 @@ def bake(params: Params, cfg: PyramidConfig) -> jnp.ndarray:
     R = cfg.grid_res
     out = None
     for g in params["levels"]:
-        if g.shape[0] != R:
-            g = jax.image.resize(
-                g, (R, R, R, cfg.features), method="trilinear"
-            )
+        if out is not None and out.shape[0] != g.shape[0]:
+            out = _upsample3(out, g.shape[0])
         out = g if out is None else out + g
+    if out.shape[0] != R:
+        out = _upsample3(out, R)
     sigma = trunc_exp(out[..., 0] + cfg.sigma_bias)
     return jnp.concatenate([sigma[..., None], out[..., 1:]], axis=-1)
+
+
+bake_jit = jax.jit(bake, static_argnames="cfg")
 
 
 def density_from_grid(grid_slab: jnp.ndarray) -> jnp.ndarray:
     """Channel 0 of the baked grid is sigma already; clamp resample
     undershoot."""
     return jnp.maximum(grid_slab[..., 0], 0.0)
+
+
+def rgb_from_features_enc(
+    params: Params,
+    cfg: PyramidConfig,
+    feats: jnp.ndarray,
+    d_enc: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """(..., F-1) features + precomputed (..., 16) SH encoding -> rgb.
+
+    Split out so callers shading many samples with shared directions (the
+    slab sweep: one direction field per chunk) encode once, not per slab.
+    """
+    rgb_in = jnp.concatenate([d_enc, feats], axis=-1)
+    return apply_mlp(
+        params["rgb_mlp"], rgb_mlp_spec(cfg), rgb_in, compute_dtype
+    ).astype(jnp.float32)
 
 
 def rgb_from_features(
@@ -101,7 +151,4 @@ def rgb_from_features(
 ) -> jnp.ndarray:
     """(..., F-1) features + (..., 3) unit dirs -> (..., 3) rgb."""
     d_enc = sh_encode((dirs + 1.0) / 2.0)
-    rgb_in = jnp.concatenate([d_enc, feats], axis=-1)
-    return apply_mlp(
-        params["rgb_mlp"], rgb_mlp_spec(cfg), rgb_in, compute_dtype
-    ).astype(jnp.float32)
+    return rgb_from_features_enc(params, cfg, feats, d_enc, compute_dtype)

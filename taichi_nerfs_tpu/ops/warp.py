@@ -191,6 +191,71 @@ def resample_matmul(
     return jnp.moveaxis(out, -1, axis)
 
 
+def resample_window(
+    step_abs_max: float, out_len: int, multiple: int = 32
+) -> int:
+    """Static source-window width covering an affine resample's support.
+
+    The support of ``out[0..out_len-1]`` spans ``(out_len-1)*|step| + 2``
+    source cells; bucketing to a multiple keeps the number of compiled
+    programs small when the step varies across poses.
+    """
+    need = int(math.ceil((out_len - 1) * step_abs_max)) + 3
+    return ((need + multiple - 1) // multiple) * multiple
+
+
+def resample_matmul_windowed(
+    x: jnp.ndarray,
+    start: jnp.ndarray,
+    step: jnp.ndarray,
+    out_len: int,
+    axis: int,
+    window: int,
+    dtype=None,
+) -> jnp.ndarray:
+    """Affine 1D resample as dynamic-slice + one small MXU matmul.
+
+    The interpolation matrix of :func:`resample_matmul` is a 2-diagonal
+    band: only ``(out_len-1)*|step| + 2`` consecutive source cells are ever
+    read.  Slicing that window first (traced offset, static ``window``
+    width) shrinks the matmul from ``(N, out_len)`` to ``(window,
+    out_len)`` — the big win when the output footprint covers a small part
+    of the source (training crops, tight frusta).
+
+    ``window`` must cover the support (see :func:`resample_window`);
+    positions outside the window read as zero, matching the zero-padding
+    semantics of the full matmul only when the window is wide enough.
+    Falls back to the full matmul when ``window >= N``.
+    """
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    if window >= n:
+        return resample_matmul(x, start, step, out_len, axis, dtype)
+    start = jnp.asarray(start, jnp.float32)
+    step = jnp.asarray(step, jnp.float32)
+    p_end = start + (out_len - 1) * step
+    lo = jnp.minimum(start, p_end)
+    origin = jnp.floor(lo).astype(jnp.int32) - 1
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (window, window)
+    xp = jnp.pad(x, pad)
+    off = jnp.clip(origin + window, 0, n + window)
+    xw = jax.lax.dynamic_slice_in_dim(xp, off, window, axis=axis)
+    rel_start = start - (off - window).astype(jnp.float32)
+    w = interp_matrix(
+        rel_start, step, window, out_len, dtype=dtype or x.dtype
+    )
+    out = jax.lax.dot_general(
+        xw,
+        w,
+        dimension_numbers=(((axis,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if dtype is not None:
+        out = out.astype(dtype)
+    return jnp.moveaxis(out, -1, axis)
+
+
 # kept for callers that can bound ``start`` statically (legacy helper)
 def drift_window(
     start_min: float, start_max: float, step_min: float, step_max: float,

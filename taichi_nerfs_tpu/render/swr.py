@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models import pyramid as pyr
-from ..ops.warp import resample_matmul
+from ..ops.sh import sh_encode
+from ..ops.warp import resample_matmul, resample_matmul_windowed
 
 
 @partial(
@@ -52,6 +53,9 @@ from ..ops.warp import resample_matmul
         "lat_pad",
         "white_bg",
         "debug_frames",
+        "slab_window",
+        "lat_size",
+        "resample_dtype",
     ),
 )
 def render_swr_fixed_axis(
@@ -67,6 +71,9 @@ def render_swr_fixed_axis(
     lat_pad: int = 16,
     white_bg: bool = True,
     debug_frames: bool = False,
+    slab_window: int = 0,
+    lat_size: int = 0,
+    resample_dtype: str = "float32",
 ) -> Dict[str, jnp.ndarray]:
     """Render with a statically chosen sweep axis/direction.
 
@@ -77,13 +84,36 @@ def render_swr_fixed_axis(
         flip: static — the camera sits on the +axis side (sweep descending).
         lat_pad: extra lattice cells beyond the pixel count (interpolation
             margin); the lattice is ``max(img_wh) + lat_pad`` square.
+        slab_window: static source-window width for the per-slab resamples
+            (see :func:`taichi_nerfs_tpu.ops.warp.resample_matmul_windowed`);
+            0 = full matmul.  Must cover the widest slab footprint — use
+            :func:`slab_window_bound`.
+        lat_size: static override of the intermediate-lattice side.  The
+            lattice only needs to resolve the *grid* (its information
+            content is R cells across), so eval renders at high resolution
+            cap it near ``R`` and let the final projective warp magnify.
+            0 = ``max(img_wh) + lat_pad``.
+        resample_dtype: matmul operand dtype for the slab resamples
+            ("float32" or "bfloat16"; accumulation is fp32 either way).
     """
     s = cfg.scale
     R = cfg.grid_res
     F = cfg.features
     h = 2.0 * s / R
     w_img, h_img = img_wh
-    nq = max(w_img, h_img) + lat_pad
+    nq = lat_size if lat_size else max(w_img, h_img) + lat_pad
+    rs_dtype = jnp.dtype(resample_dtype)
+
+    def slab_resample(x, start, step, axis_):
+        # operands in rs_dtype, fp32 accumulation, fp32 result
+        x = x.astype(rs_dtype)
+        if slab_window:
+            out = resample_matmul_windowed(
+                x, start, step, nq, axis_, slab_window
+            )
+        else:
+            out = resample_matmul(x, start, step, nq, axis_)
+        return out.astype(jnp.float32)
 
     b_axis, c_axis = [d for d in range(3) if d != axis]
     # vol: (D, F, Rb, Rc) — channel-leading minor block keeps (sublane,
@@ -141,9 +171,11 @@ def render_swr_fixed_axis(
     g_b0, g_db, g_c0, g_dc = frame_at(jnp.float32(0.0))
 
     lat_i = jnp.arange(nq, dtype=jnp.float32)
+    # deferred shading composites the (F-1) feature channels instead of rgb
+    acc_ch = (F - 1) if cfg.deferred else 3
 
     def chunk_body(carry, inp):
-        rgb_g, depth_g, t_g = carry
+        acc_g, depth_g, t_g = carry
         slabs, z_slabs = inp
         z_ref = jnp.mean(z_slabs)
         f_b0, f_db, f_c0, f_dc = frame_at(z_ref)
@@ -157,15 +189,20 @@ def render_swr_fixed_axis(
         norm = jnp.sqrt(va * va + vb * vb + vc * vc)  # (nq, nq)
         inv_da = norm / jnp.abs(va)
         dt = h * inv_da  # per-lattice step length along the ray
-        # world-order unit direction for the SH encoding
-        comps = [None, None, None]
-        comps[axis] = jnp.broadcast_to(va / norm, (nq, nq))
-        comps[b_axis] = jnp.broadcast_to(vb / norm, (nq, nq))
-        comps[c_axis] = jnp.broadcast_to(vc / norm, (nq, nq))
-        dirs = jnp.stack(comps, axis=-1)  # (nq, nq, 3)
+        if cfg.deferred:
+            d_enc = None
+        else:
+            # world-order unit direction, SH-encoded once per chunk (the
+            # per-slab shading below reuses it)
+            comps = [None, None, None]
+            comps[axis] = jnp.broadcast_to(va / norm, (nq, nq))
+            comps[b_axis] = jnp.broadcast_to(vb / norm, (nq, nq))
+            comps[c_axis] = jnp.broadcast_to(vc / norm, (nq, nq))
+            dirs = jnp.stack(comps, axis=-1)  # (nq, nq, 3)
+            d_enc = sh_encode((dirs + 1.0) / 2.0)
 
         def slab_body(carry_s, inp_s):
-            rgb_acc, depth_acc, t_acc = carry_s
+            acc, depth_acc, t_acc = carry_s
             slab, z_k = inp_s  # (F, R, R), ()
             rho = (z_ref - o_a) / (z_k - o_a)
             # source index of lattice i: m(i) = (p_b + s)/h - 1/2 with
@@ -174,32 +211,34 @@ def render_swr_fixed_axis(
             start_c = (o_c + (qc[0] - o_c) / rho + s) / h - 0.5
             step_b = f_db / (rho * h)
             step_c = f_dc / (rho * h)
-            # fp32 operands measured faster than bf16 here: the resample
-            # matmuls are bandwidth-shaped (skinny), so the casts cost more
-            # than the MXU saves
-            sq = resample_matmul(slab, start_b, step_b, nq, axis=1)
-            sq = resample_matmul(sq, start_c, step_c, nq, axis=2)
+            sq = slab_resample(slab, start_b, step_b, 1)
+            sq = slab_resample(sq, start_c, step_c, 2)
             slab_q = jnp.moveaxis(sq, 0, -1)  # (nq, nq, F)
             sigma = pyr.density_from_grid(slab_q)
             feats = slab_q[..., 1:]  # (nq, nq, F-1)
-            rgb = pyr.rgb_from_features(params, cfg, feats, dirs)
+            if cfg.deferred:
+                contrib = feats
+            else:
+                contrib = pyr.rgb_from_features_enc(
+                    params, cfg, feats, d_enc
+                )
             alpha = 1.0 - jnp.exp(-sigma * dt)
             w = alpha * t_acc
             t_ray = (z_k - o_a) * inv_da * jnp.sign(va)
-            rgb_acc = rgb_acc + w[..., None] * rgb
+            acc = acc + w[..., None] * contrib
             depth_acc = depth_acc + w * t_ray
             t_acc = t_acc * (1.0 - alpha)
-            return (rgb_acc, depth_acc, t_acc), None
+            return (acc, depth_acc, t_acc), None
 
         init = (
-            jnp.zeros((nq, nq, 3), jnp.float32),
+            jnp.zeros((nq, nq, acc_ch), jnp.float32),
             jnp.zeros((nq, nq), jnp.float32),
             jnp.ones((nq, nq), jnp.float32),
         )
         # remat: without it the backward stores every slab's resampled
         # frame + MLP activations (~85 GB at R=256); recomputing them per
         # slab keeps the live set at the carry size
-        (rgb_c, depth_c, t_c), _ = jax.lax.scan(
+        (acc_c, depth_c, t_c), _ = jax.lax.scan(
             jax.checkpoint(slab_body), init, (slabs, z_slabs)
         )
 
@@ -212,25 +251,25 @@ def render_swr_fixed_axis(
         step_c = g_dc * rho_cg / f_dc
         packed = jnp.concatenate(
             [
-                jnp.moveaxis(rgb_c, -1, 0),
+                jnp.moveaxis(acc_c, -1, 0),
                 depth_c[None],
                 (1.0 - t_c)[None],
             ],
             axis=0,
-        )  # (5, nq, nq)
+        )  # (acc_ch + 2, nq, nq)
         packed = resample_matmul(packed, start_b, step_b, nq, axis=1)
         packed = resample_matmul(packed, start_c, step_c, nq, axis=2)
-        rgb_w = jnp.moveaxis(packed[:3], 0, -1)
-        depth_w = packed[3]
-        t_w = 1.0 - packed[4]
-        rgb_g = rgb_g + t_g[..., None] * rgb_w
+        acc_w = jnp.moveaxis(packed[:acc_ch], 0, -1)
+        depth_w = packed[acc_ch]
+        t_w = 1.0 - packed[acc_ch + 1]
+        acc_g = acc_g + t_g[..., None] * acc_w
         depth_g = depth_g + t_g * depth_w
         t_g = t_g * t_w
-        dbg = (rgb_c, t_c, packed) if debug_frames else None
-        return (rgb_g, depth_g, t_g), dbg
+        dbg = (acc_c, t_c, packed) if debug_frames else None
+        return (acc_g, depth_g, t_g), dbg
 
     init_g = (
-        jnp.zeros((nq, nq, 3), jnp.float32),
+        jnp.zeros((nq, nq, acc_ch), jnp.float32),
         jnp.zeros((nq, nq), jnp.float32),
         jnp.ones((nq, nq), jnp.float32),
     )
@@ -238,7 +277,7 @@ def render_swr_fixed_axis(
     # per-chunk residuals are just the (nq, nq) frame images — cheap to
     # store, and re-running the whole slab sweep in backward would double
     # the heavy work
-    (rgb_g, depth_g, t_g), chunk_dbg = jax.lax.scan(
+    (acc_g, depth_g, t_g), chunk_dbg = jax.lax.scan(
         chunk_body, init_g, (vol_c, zs_c)
     )
 
@@ -264,8 +303,8 @@ def render_swr_fixed_axis(
     behind = t_hit <= 0.0
 
     img = jnp.concatenate(
-        [rgb_g, depth_g[..., None], (1.0 - t_g)[..., None]], axis=-1
-    )  # (nq, nq, 5)
+        [acc_g, depth_g[..., None], (1.0 - t_g)[..., None]], axis=-1
+    )  # (nq, nq, acc_ch + 2)
 
     i0 = jnp.clip(jnp.floor(li).astype(jnp.int32), 0, nq - 2)
     j0 = jnp.clip(jnp.floor(lj).astype(jnp.int32), 0, nq - 2)
@@ -283,9 +322,20 @@ def render_swr_fixed_axis(
     )
     pix = jnp.where(behind[..., None], 0.0, pix)
 
-    rgb = pix[..., :3]
-    depth = pix[..., 3]
-    opacity = pix[..., 4]
+    depth = pix[..., acc_ch]
+    opacity = pix[..., acc_ch + 1]
+    if cfg.deferred:
+        # shade once per pixel: normalize the accumulated features by
+        # opacity (an opacity-weighted average) and re-premultiply, so
+        # fully transparent pixels stay black before background blending
+        dirs_pix = dir_w / jnp.linalg.norm(dir_w, axis=-1, keepdims=True)
+        feat_avg = pix[..., :acc_ch] / jnp.maximum(
+            opacity[..., None], 1e-6
+        )
+        rgb = pyr.rgb_from_features(params, cfg, feat_avg, dirs_pix)
+        rgb = rgb * opacity[..., None]
+    else:
+        rgb = pix[..., :3]
     if white_bg:
         rgb = rgb + (1.0 - opacity)[..., None]
     out = {
@@ -299,6 +349,91 @@ def render_swr_fixed_axis(
     return out
 
 
+def _pixel_slopes(pose, K, img_wh, axis, n_grid: int = 17):
+    """Host helper: ray slopes (d_b/d_a, d_c/d_a) on a pixel grid."""
+    import numpy as np
+
+    w, h = img_wh
+    u = np.linspace(0.0, w - 1.0, n_grid)
+    v = np.linspace(0.0, h - 1.0, n_grid)
+    uu, vv = np.meshgrid(u, v, indexing="xy")
+    K = np.asarray(K, np.float64)
+    cam = np.stack(
+        [
+            (uu - K[0, 2] + 0.5) / K[0, 0],
+            (vv - K[1, 2] + 0.5) / K[1, 1],
+            np.ones_like(uu),
+        ],
+        axis=-1,
+    )
+    world = cam @ np.asarray(pose, np.float64)[:, :3].T
+    b_axis, c_axis = [d for d in range(3) if d != axis]
+    sb = world[..., b_axis] / world[..., axis]
+    sc = world[..., c_axis] / world[..., axis]
+    return sb, sc
+
+
+def _max_window_span(arr, k: int) -> float:
+    """Max (max - min) over any (k+1)x(k+1) sample window of a 2-D grid."""
+    import numpy as np
+
+    n = arr.shape[0]
+    k = min(k, n - 1)
+    best = 0.0
+    for i in range(n - k):
+        for j in range(arr.shape[1] - k):
+            sub = arr[i : i + k + 1, j : j + k + 1]
+            best = max(best, float(sub.max() - sub.min()))
+    return best
+
+
+def slab_window_bound(
+    poses,
+    K,
+    img_wh: Tuple[int, int],
+    cfg: pyr.PyramidConfig,
+    crop: int | None = None,
+    lat_pad: int = 16,
+    safety: float = 1.1,
+) -> int:
+    """Static source-window width covering every slab resample.
+
+    The per-slab resample step is ``frustum_width(z_k) / (h * (nq - 1 -
+    lat_pad))``; its max over slabs/poses (and, for training, over all
+    ``crop`` x ``crop`` sub-frusta) bounds the source support.  Returns 0
+    (= use the full matmul) when the bound reaches the grid resolution.
+    """
+    import numpy as np
+
+    R, s = cfg.grid_res, cfg.scale
+    h = 2.0 * s / R
+    w_img, h_img = img_wh
+    out_side = crop if crop else max(img_wh)
+    nq = out_side + lat_pad
+    denom = (nq - 1 - lat_pad) * h
+    n_grid = 17
+    if crop:
+        ku = int(np.ceil((crop - 1) / max(w_img - 1, 1) * (n_grid - 1))) + 1
+        kv = int(np.ceil((crop - 1) / max(h_img - 1, 1) * (n_grid - 1))) + 1
+        k = max(ku, kv)
+    else:
+        k = n_grid - 1
+    step_max = 0.0
+    for p in np.asarray(poses, np.float32).reshape(-1, 3, 4):
+        axis = int(np.argmax(np.abs(p[:, 2])))
+        sb, sc = _pixel_slopes(p, K, img_wh, axis, n_grid)
+        dist = abs(float(p[axis, 3])) + s
+        for arr in (sb, sc):
+            span = _max_window_span(arr, k)
+            step_max = max(step_max, dist * span / denom)
+    from ..ops.warp import resample_window
+
+    win = resample_window(step_max * safety, nq)
+    # measured on v5e: the dynamic-slice + pad overhead of the windowed
+    # path only pays off once the matmul shrinks ~4x; otherwise full matmul
+    return 0 if win * 4 > R else win
+
+
 def render_swr(
     params,
     grid: jnp.ndarray,
@@ -306,9 +441,15 @@ def render_swr(
     pose,
     K,
     img_wh: Tuple[int, int],
+    lat_cap: int | None = None,
     **kw,
 ) -> Dict[str, jnp.ndarray]:
-    """Host wrapper: picks the dominant sweep axis from the concrete pose."""
+    """Host wrapper: picks the dominant sweep axis from the concrete pose.
+
+    ``lat_cap`` bounds the intermediate-lattice side (the lattice only
+    needs to resolve the R-cell grid; the final warp magnifies) — pass
+    e.g. ``int(1.25 * cfg.grid_res)`` for fast high-resolution renders.
+    """
     import numpy as np
 
     kw.pop("dist_min", None)  # legacy knob of the roll-select variant
@@ -318,6 +459,9 @@ def render_swr(
     # sweep front-to-back: nearest slab first, i.e. descending z when the
     # camera sits on the +axis side
     flip = bool(np.asarray(pose)[axis, 3] > 0)
+    lat_pad = kw.get("lat_pad", 16)
+    if lat_cap and max(img_wh) + lat_pad > lat_cap:
+        kw["lat_size"] = lat_cap
     return render_swr_fixed_axis(
         params, grid, cfg, pose, jnp.asarray(K, jnp.float32), tuple(img_wh),
         axis, flip, **kw,

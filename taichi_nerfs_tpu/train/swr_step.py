@@ -65,7 +65,7 @@ def create_swr_state(
 
 @partial(
     jax.jit,
-    static_argnames=("mcfg", "tcfg", "axis", "flip"),
+    static_argnames=("mcfg", "tcfg", "axis", "flip", "slab_window"),
     donate_argnames=("state",),
 )
 def swr_train_step(
@@ -78,6 +78,7 @@ def swr_train_step(
     tcfg: SwrTrainConfig,
     axis: int,
     flip: bool,
+    slab_window: int = 0,
 ) -> Tuple[SwrTrainState, Dict[str, jnp.ndarray]]:
     c = tcfg.crop
     x0 = crop_xy[0]
@@ -104,6 +105,7 @@ def swr_train_step(
             flip,
             n_chunks=tcfg.n_chunks,
             white_bg=tcfg.white_bg,
+            slab_window=slab_window,
         )
         mse = jnp.mean((out["rgb"] - gt) ** 2)
         loss = mse
@@ -168,6 +170,12 @@ class SwrTrainer:
         for p in self.poses_np:
             a = int(np.argmax(np.abs(p[:, 2])))
             self._axis_flip.append((a, bool(p[a, 3] > 0)))
+        # static slab-resample window over all poses/crops (0 = full)
+        from ..render.swr import slab_window_bound
+
+        self.slab_window = slab_window_bound(
+            self.poses_np, np.asarray(K), img_wh, mcfg, crop=tcfg.crop
+        )
         self.step = 0
 
     def run_step(self):
@@ -187,6 +195,7 @@ class SwrTrainer:
             self.tcfg,
             axis,
             flip,
+            slab_window=self.slab_window,
         )
         self.step += 1
         return metrics
@@ -209,12 +218,12 @@ class SwrTrainer:
                 )
         return m
 
-    def render(self, pose, K=None, img_wh=None):
+    def render(self, pose, K=None, img_wh=None, lat_cap="auto"):
         from ..render.swr import render_swr
 
-        grid = jax.jit(pyr.bake, static_argnames="cfg")(
-            self.state.params, self.mcfg
-        )
+        grid = pyr.bake_jit(self.state.params, self.mcfg)
+        if lat_cap == "auto":
+            lat_cap = int(1.25 * self.mcfg.grid_res) + 16
         return render_swr(
             self.state.params,
             grid,
@@ -224,4 +233,5 @@ class SwrTrainer:
             img_wh or self.img_wh,
             n_chunks=self.tcfg.n_chunks,
             white_bg=self.tcfg.white_bg,
+            lat_cap=lat_cap,
         )

@@ -145,3 +145,71 @@ def test_swr_matches_oracle(setup, eye):
     assert psnr > 24.0, f"swr/oracle mismatch: psnr={psnr:.2f}"
     # opacity sanity: some rays hit the blob
     assert float(np.max(out["opacity"])) > 0.3
+
+
+def _oracle_deferred(grid, params, cfg, pose, K, wh):
+    """Per-ray oracle of the deferred model: composite features, then one
+    MLP per pixel on the opacity-normalized accumulated feature vector."""
+    s, R = cfg.scale, cfg.grid_res
+    h = 2.0 * s / R
+    w_img, h_img = wh
+    o = pose[:, 3]
+    axis = int(np.argmax(np.abs(pose[:, 2])))
+    zs = -s + (np.arange(R) + 0.5) * h
+    if o[axis] > 0:
+        zs = zs[::-1]
+    uu, vv = np.meshgrid(np.arange(w_img), np.arange(h_img), indexing="xy")
+    dc = np.stack(
+        [
+            (uu.ravel() - K[0, 2] + 0.5) / K[0, 0],
+            (vv.ravel() - K[1, 2] + 0.5) / K[1, 1],
+            np.ones(w_img * h_img),
+        ],
+        axis=1,
+    )
+    d = dc @ pose[:, :3].T
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    n = d.shape[0]
+    T = np.ones(n)
+    feat = np.zeros((n, cfg.features - 1))
+    dt = h / np.abs(d[:, axis])
+    for z in zs:
+        t = (z - o[axis]) / d[:, axis]
+        live = t > 0
+        p = o[None, :] + t[:, None] * d
+        g = _trilinear_vec(grid, p, s, h)
+        sigma = np.maximum(g[:, 0], 0.0) * live
+        alpha = 1.0 - np.exp(-sigma * dt)
+        feat += (alpha * T)[:, None] * g[:, 1:]
+        T *= 1.0 - alpha
+    opacity = 1.0 - T
+    denc = _np_sh16((d + 1.0) / 2.0)
+    feat_avg = feat / np.maximum(opacity[:, None], 1e-6)
+    rgb = _np_mlp(
+        params["rgb_mlp"], np.concatenate([denc, feat_avg], axis=1)
+    )
+    return rgb * opacity[:, None] + T[:, None]  # white bg
+
+
+@pytest.mark.parametrize("eye", [(0.1, 0.15, -1.3), (1.3, 0.3, 0.2)])
+def test_swr_deferred_matches_oracle(setup, eye):
+    cfg0, params, grid = setup
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg0, deferred=True)
+    w = h = 32
+    focal = 0.9 * w
+    K = np.array(
+        [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32
+    )
+    pose = look_at(
+        np.asarray(eye, np.float64), np.zeros(3), np.array([0.0, 0.0, 1.0])
+    ).astype(np.float64)
+    out = render_swr(params, grid, cfg, pose, K, (w, h), n_chunks=8)
+    got = np.asarray(out["rgb"])
+    want = _oracle_deferred(
+        np.asarray(grid, np.float64), params, cfg, pose, K, (w, h)
+    )
+    mse = float(np.mean((got - want) ** 2))
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 24.0, f"deferred swr/oracle mismatch: psnr={psnr:.2f}"

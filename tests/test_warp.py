@@ -113,3 +113,71 @@ def test_resample_grad_is_transpose():
         np.testing.assert_allclose(
             g[k], (lp - lm) / (2 * eps), rtol=5e-2, atol=1e-3
         )
+
+
+class TestWindowedMatmul:
+    """resample_matmul_windowed vs the full-matmul resampler."""
+
+    @pytest.mark.parametrize(
+        "n,out_len,start,step,window",
+        [
+            (256, 144, 40.2, 0.31, 64),   # training-crop regime
+            (256, 144, -0.7, 0.18, 32),   # support crosses the low edge
+            (256, 144, 230.5, 0.25, 64),  # support crosses the high edge
+            (256, 144, -80.0, 0.2, 32),   # fully below the source
+            (256, 144, 300.0, 0.2, 32),   # fully above the source
+            (256, 144, 120.0, -0.3, 64),  # negative step
+            (64, 144, 10.0, 0.3, 128),    # window >= n fallback
+        ],
+    )
+    def test_matches_full(self, n, out_len, start, step, window):
+        from taichi_nerfs_tpu.ops.warp import (
+            resample_matmul,
+            resample_matmul_windowed,
+        )
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(4, n, 8)).astype(np.float32)
+        want = np.asarray(
+            jax.jit(lambda x, s, st: resample_matmul(x, s, st, out_len, 1))(
+                jnp.asarray(x), jnp.float32(start), jnp.float32(step)
+            )
+        )
+        got = np.asarray(
+            jax.jit(
+                lambda x, s, st: resample_matmul_windowed(
+                    x, s, st, out_len, 1, window
+                )
+            )(jnp.asarray(x), jnp.float32(start), jnp.float32(step))
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_window_helper_covers(self):
+        from taichi_nerfs_tpu.ops.warp import resample_window
+
+        assert resample_window(0.3, 144) >= 0.3 * 143 + 2
+        assert resample_window(0.3, 144) % 32 == 0
+
+    def test_grad_matches_full(self):
+        from taichi_nerfs_tpu.ops.warp import (
+            resample_matmul,
+            resample_matmul_windowed,
+        )
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(2, 256, 4)).astype(np.float32))
+        start, step = jnp.float32(50.3), jnp.float32(0.27)
+
+        def loss_full(x):
+            return jnp.sum(resample_matmul(x, start, step, 144, 1) ** 2)
+
+        def loss_win(x):
+            return jnp.sum(
+                resample_matmul_windowed(x, start, step, 144, 1, 64) ** 2
+            )
+
+        gf = jax.jit(jax.grad(loss_full))(x)
+        gw = jax.jit(jax.grad(loss_win))(x)
+        np.testing.assert_allclose(
+            np.asarray(gw), np.asarray(gf), rtol=1e-4, atol=1e-5
+        )
