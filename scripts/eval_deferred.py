@@ -1,0 +1,56 @@
+"""Quality A/B: deferred vs per-slab shading on the checker scene.
+
+Trains the SWR pyramid for --steps on the procedural high-frequency
+checker, evaluates held-out views, prints PSNR for both shading modes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+
+def run(deferred: bool, steps: int, crop: int = 128):
+    from taichi_nerfs_tpu.data.synthetic import SyntheticSphereDataset
+    from taichi_nerfs_tpu.models.pyramid import PyramidConfig
+    from taichi_nerfs_tpu.train.metrics import psnr as psnr_fn
+    from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
+
+    train = SyntheticSphereDataset(
+        n_images=24, img_wh=(128, 128), variant="checker", n_steps=512
+    )
+    test = SyntheticSphereDataset(
+        n_images=4, img_wh=(128, 128), variant="checker", n_steps=512,
+        split="test",
+    )
+    mcfg = PyramidConfig(
+        resolutions=(32, 64, 128, 256), features=8, deferred=deferred
+    )
+    tcfg = SwrTrainConfig(crop=crop, lr=2e-2, max_steps=steps, n_chunks=16)
+    tr = SwrTrainer(mcfg, tcfg, train.rays, train.poses, train.K,
+                    train.img_wh)
+    t0 = time.time()
+    tr.fit(steps, log_every=max(steps // 4, 1))
+    dt = time.time() - t0
+    w, h = test.img_wh
+    ps = []
+    for i in range(len(test)):
+        out = tr.render(test.poses[i], img_wh=(w, h))
+        gt = np.asarray(test.rays[i]).reshape(-1, 3)
+        ps.append(float(psnr_fn(np.asarray(out["rgb"]), gt)))
+    return float(np.mean(ps)), dt
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--modes", default="normal,deferred")
+    args = ap.parse_args()
+    for mode in args.modes.split(","):
+        psnr, dt = run(mode == "deferred", args.steps)
+        print(f"{mode}: eval_psnr={psnr:.2f} train_time={dt:.1f}s "
+              f"({args.steps} steps)")

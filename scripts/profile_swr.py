@@ -107,6 +107,13 @@ def main():
     mcfg_d = dataclasses.replace(mcfg, deferred=True)
     t_fulld = time_full_cfg(mcfg_d, tcfg)
     print(f"full step defer:  {t_fulld * 1e3:8.2f} ms")
+    for crop in (192, 256):
+        tc = dataclasses.replace(tcfg, crop=crop)
+        t_c = time_full_cfg(mcfg_d, tc, n=20)
+        print(
+            f"defer crop {crop}:   {t_c * 1e3:8.2f} ms "
+            f"({crop * crop / t_c / 1e3:7.1f}K rays/s)"
+        )
     state = create_swr_state(jax.random.PRNGKey(0), mcfg, tcfg)
 
     params = state.params
@@ -186,34 +193,32 @@ def main():
             jnp.float32,
         )
 
-        def make_rend(lat_size, rdt):
-            def rend(params, grid):
-                return render_swr_fixed_axis(
-                    params, grid, mcfg, pose, Kw, (wh, wh), axis, flip,
-                    n_chunks=tcfg.n_chunks, lat_size=lat_size,
-                    resample_dtype=rdt,
-                )["rgb"]
-
-            return rend
-
-        def make_rend_cfg(mc, lat_size, rdt):
+        def make_rend_cfg(mc, lat_size, rdt, skip=False):
             def rend(params, grid):
                 return render_swr_fixed_axis(
                     params, grid, mc, pose, Kw, (wh, wh), axis, flip,
                     n_chunks=tcfg.n_chunks, lat_size=lat_size,
-                    resample_dtype=rdt,
+                    resample_dtype=rdt, skip_empty=skip,
                 )["rgb"]
 
             return rend
 
+        # sparse grid: object occupies the central ~40% of slabs (a
+        # trained scene's occupancy), zero sigma elsewhere
+        R = mcfg.grid_res
+        band = jnp.zeros((R,), jnp.float32).at[
+            int(0.3 * R) : int(0.7 * R)
+        ].set(1.0)
+        grid_sparse = grid.at[..., 0].mul(band[None, None, :])
+
         cap = lat if wh + 16 > lat else 0
-        for tag, mc, ls, rdt in (
-            ("cap fp32 ", mcfg, cap, "float32"),
-            ("cap bf16 ", mcfg, cap, "bfloat16"),
-            ("cap defer", mcfg_d, cap, "float32"),
-            ("capdef bf", mcfg_d, cap, "bfloat16"),
+        for tag, mc, ls, rdt, skip, g in (
+            ("cap fp32     ", mcfg, cap, "float32", False, grid),
+            ("cap defer    ", mcfg_d, cap, "float32", False, grid),
+            ("capdef bf    ", mcfg_d, cap, "bfloat16", False, grid),
+            ("capdef bf skp", mcfg_d, cap, "bfloat16", True, grid_sparse),
         ):
-            t_r = timeit(make_rend_cfg(mc, ls, rdt), params, grid, n=10)
+            t_r = timeit(make_rend_cfg(mc, ls, rdt, skip), params, g, n=10)
             print(f"render {wh}^2 {tag}: {t_r * 1e3:8.2f} ms  "
                   f"({1.0 / t_r:5.1f} fps)")
 

@@ -56,6 +56,8 @@ from ..ops.warp import resample_matmul, resample_matmul_windowed
         "slab_window",
         "lat_size",
         "resample_dtype",
+        "skip_empty",
+        "warp",
     ),
 )
 def render_swr_fixed_axis(
@@ -74,6 +76,8 @@ def render_swr_fixed_axis(
     slab_window: int = 0,
     lat_size: int = 0,
     resample_dtype: str = "float32",
+    skip_empty: bool = False,
+    warp: str = "matmul",
 ) -> Dict[str, jnp.ndarray]:
     """Render with a statically chosen sweep axis/direction.
 
@@ -95,6 +99,14 @@ def render_swr_fixed_axis(
             0 = ``max(img_wh) + lat_pad``.
         resample_dtype: matmul operand dtype for the slab resamples
             ("float32" or "bfloat16"; accumulation is fp32 either way).
+        skip_empty: branch around the resample+shade of slabs whose max
+            sigma is ~0 (``lax.cond`` executes one side on TPU) — the
+            occupancy-grid analogue of the dense path.  Eval-only: under
+            ``grad`` a skipped slab would get zero sigma gradient and
+            could never become occupied.
+        warp: final pixel warp — "matmul" (two-pass Catmull-Smith
+            homography as batched band matmuls; gather-free, fast
+            transpose) or "gather" (one packed bilinear gather).
     """
     s = cfg.scale
     R = cfg.grid_res
@@ -166,6 +178,8 @@ def render_swr_fixed_axis(
     dc_slabs = R // n_chunks
     vol_c = vol.reshape(n_chunks, dc_slabs, F, R, R)
     zs_c = zs.reshape(n_chunks, dc_slabs)
+    # per-slab occupancy (max sigma): drives the eval-time slab skip
+    occ_c = jnp.max(vol[:, 0], axis=(1, 2)).reshape(n_chunks, dc_slabs)
 
     # global frame on the cube-center plane
     g_b0, g_db, g_c0, g_dc = frame_at(jnp.float32(0.0))
@@ -176,7 +190,7 @@ def render_swr_fixed_axis(
 
     def chunk_body(carry, inp):
         acc_g, depth_g, t_g = carry
-        slabs, z_slabs = inp
+        slabs, z_slabs, occ_slabs = inp
         z_ref = jnp.mean(z_slabs)
         f_b0, f_db, f_c0, f_dc = frame_at(z_ref)
         qb = f_b0 + lat_i * f_db  # (nq,) world b coords on this frame
@@ -201,9 +215,8 @@ def render_swr_fixed_axis(
             dirs = jnp.stack(comps, axis=-1)  # (nq, nq, 3)
             d_enc = sh_encode((dirs + 1.0) / 2.0)
 
-        def slab_body(carry_s, inp_s):
+        def slab_work(carry_s, slab, z_k):
             acc, depth_acc, t_acc = carry_s
-            slab, z_k = inp_s  # (F, R, R), ()
             rho = (z_ref - o_a) / (z_k - o_a)
             # source index of lattice i: m(i) = (p_b + s)/h - 1/2 with
             # p_b = o_b + (q_i - o_b)/rho
@@ -228,7 +241,20 @@ def render_swr_fixed_axis(
             acc = acc + w[..., None] * contrib
             depth_acc = depth_acc + w * t_ray
             t_acc = t_acc * (1.0 - alpha)
-            return (acc, depth_acc, t_acc), None
+            return (acc, depth_acc, t_acc)
+
+        def slab_body(carry_s, inp_s):
+            slab, z_k, occ_k = inp_s  # (F, R, R), (), ()
+            if skip_empty:
+                carry_s = jax.lax.cond(
+                    occ_k > 1e-4,
+                    lambda c: slab_work(c, slab, z_k),
+                    lambda c: c,
+                    carry_s,
+                )
+            else:
+                carry_s = slab_work(carry_s, slab, z_k)
+            return carry_s, None
 
         init = (
             jnp.zeros((nq, nq, acc_ch), jnp.float32),
@@ -239,7 +265,7 @@ def render_swr_fixed_axis(
         # frame + MLP activations (~85 GB at R=256); recomputing them per
         # slab keeps the live set at the carry size
         (acc_c, depth_c, t_c), _ = jax.lax.scan(
-            jax.checkpoint(slab_body), init, (slabs, z_slabs)
+            jax.checkpoint(slab_body), init, (slabs, z_slabs, occ_slabs)
         )
 
         # fold this chunk's frame into the global frame: the ray at global
@@ -278,7 +304,7 @@ def render_swr_fixed_axis(
     # store, and re-running the whole slab sweep in backward would double
     # the heavy work
     (acc_g, depth_g, t_g), chunk_dbg = jax.lax.scan(
-        chunk_body, init_g, (vol_c, zs_c)
+        chunk_body, init_g, (vol_c, zs_c, occ_c)
     )
 
     # final projective warp: pixel -> global-frame lattice coords
@@ -306,20 +332,93 @@ def render_swr_fixed_axis(
         [acc_g, depth_g[..., None], (1.0 - t_g)[..., None]], axis=-1
     )  # (nq, nq, acc_ch + 2)
 
-    i0 = jnp.clip(jnp.floor(li).astype(jnp.int32), 0, nq - 2)
-    j0 = jnp.clip(jnp.floor(lj).astype(jnp.int32), 0, nq - 2)
-    fi = jnp.clip(li - i0, 0.0, 1.0)
-    fj = jnp.clip(lj - j0, 0.0, 1.0)
-    g00 = img[i0, j0]
-    g01 = img[i0, j0 + 1]
-    g10 = img[i0 + 1, j0]
-    g11 = img[i0 + 1, j0 + 1]
-    pix = (
-        g00 * ((1 - fi) * (1 - fj))[..., None]
-        + g01 * ((1 - fi) * fj)[..., None]
-        + g10 * (fi * (1 - fj))[..., None]
-        + g11 * (fi * fj)[..., None]
-    )
+    if warp == "gather":
+        # one bilinear gather: pack the 2x2 neighbourhood into one wide
+        # row (cheap dense rolls) so the tap is ONE gather of H*W rows
+        i0 = jnp.clip(jnp.floor(li).astype(jnp.int32), 0, nq - 2)
+        j0 = jnp.clip(jnp.floor(lj).astype(jnp.int32), 0, nq - 2)
+        fi = jnp.clip(li - i0, 0.0, 1.0)
+        fj = jnp.clip(lj - j0, 0.0, 1.0)
+        nch = img.shape[-1]
+        sh_j = jnp.roll(img, -1, axis=1)
+        img4 = jnp.concatenate([img, sh_j], axis=-1)  # [p, p+j]
+        img4 = jnp.concatenate(
+            [img4, jnp.roll(img4, -1, axis=0)], axis=-1
+        )  # [p, p+j, p+i, p+ij]  (nq, nq, 4*nch)
+        g = img4[i0, j0]  # (h, w, 4*nch)
+        g00 = g[..., :nch]
+        g01 = g[..., nch : 2 * nch]
+        g10 = g[..., 2 * nch : 3 * nch]
+        g11 = g[..., 3 * nch :]
+        pix = (
+            g00 * ((1 - fi) * (1 - fj))[..., None]
+            + g01 * ((1 - fi) * fj)[..., None]
+            + g10 * (fi * (1 - fj))[..., None]
+            + g11 * (fi * fj)[..., None]
+        )
+    else:
+        # two-pass matmul warp (Catmull-Smith): the homography pixel ->
+        # lattice factors into two batched 1-D *rational* resamples, each
+        # one MXU matmul against an on-the-fly 2-band hat matrix — no
+        # gather at all, and the autodiff transpose is two matmuls too.
+        #
+        # Geometry: with x = x(u), y = y(v) the camera-plane coords,
+        # d = r0*x + r1*y + r2 (world), the lattice coords are
+        #   li = ((o_b - g_b0)*da - o_a*db) / (g_db * da)
+        #   lj = ((o_c - g_c0)*dc_den) ... (same shape in c)
+        # Pass A builds inter[u, j] = img[li_at(u, j), j] where li_at
+        # solves lj(u, v_j) = j for v_j and evaluates li there; pass B
+        # resamples inter along j at lj(u, v).
+        r = pose[:, :3]  # world = r @ cam
+        ra = r[axis]
+        rb = r[b_axis]
+        rc = r[c_axis]
+        xs = (jnp.arange(w_img, dtype=jnp.float32) - K[0, 2] + 0.5) / K[
+            0, 0
+        ]
+        ys = (jnp.arange(h_img, dtype=jnp.float32) - K[1, 2] + 0.5) / K[
+            1, 1
+        ]
+        j_ar = jnp.arange(nq, dtype=jnp.float32)
+        # gamma_j (o_c - g_c0 - j*g_dc): solve
+        #   gamma_j * da(x, y) = o_a * dc(x, y)  for y given x
+        gam = o_c - g_c0 - j_ar * g_dc  # (J,)
+        num_x = (o_a * rc[0] - gam[:, None] * ra[0]) * xs[None, :] + (
+            o_a * rc[2] - gam[:, None] * ra[2]
+        )  # (J, W)
+        den_y = gam[:, None] * ra[1] - o_a * rc[1] + jnp.zeros_like(num_x)
+        y_j = num_x / jnp.where(jnp.abs(den_y) < 1e-12, 1e-12, den_y)
+        da_j = ra[0] * xs[None, :] + ra[1] * y_j + ra[2]  # (J, W)
+        db_j = rb[0] * xs[None, :] + rb[1] * y_j + rb[2]
+        posA = ((o_b - g_b0) * da_j - o_a * db_j) / (
+            g_db * jnp.where(jnp.abs(da_j) < 1e-12, 1e-12, da_j)
+        )  # (J, W): source-i position for (row j, out column u)
+        posA = jnp.where(jnp.isfinite(posA), posA, -1e9)
+
+        i_ar = jnp.arange(nq, dtype=jnp.float32)
+        WA = jnp.maximum(
+            0.0, 1.0 - jnp.abs(i_ar[None, :, None] - posA[:, None, :])
+        ).astype(rs_dtype)  # (J, I, W)
+        # inter[j, c, u] = sum_i img[i, j, c] * WA[j, i, u]
+        inter = jax.lax.dot_general(
+            jnp.transpose(img, (1, 0, 2)).astype(rs_dtype),  # (J, I, C)
+            WA,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (J, C, W)
+
+        posB = jnp.transpose(lj, (1, 0))  # (W, H): j position per (u, v)
+        posB = jnp.where(jnp.isfinite(posB), posB, -1e9)
+        WB = jnp.maximum(
+            0.0, 1.0 - jnp.abs(j_ar[None, :, None] - posB[:, None, :])
+        ).astype(rs_dtype)  # (W, J, H)
+        pixT = jax.lax.dot_general(
+            jnp.transpose(inter, (2, 0, 1)).astype(rs_dtype),  # (W, J, C)
+            WB,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (W, C, H)
+        pix = jnp.transpose(pixT, (2, 0, 1))  # (H, W, C)
     pix = jnp.where(behind[..., None], 0.0, pix)
 
     depth = pix[..., acc_ch]

@@ -221,7 +221,13 @@ class SwrTrainer:
     def render(self, pose, K=None, img_wh=None, lat_cap="auto"):
         from ..render.swr import render_swr
 
-        grid = pyr.bake_jit(self.state.params, self.mcfg)
+        # bake once per training step, not once per rendered view
+        if getattr(self, "_grid_cache", (None, None))[0] != self.step:
+            self._grid_cache = (
+                self.step,
+                pyr.bake_jit(self.state.params, self.mcfg),
+            )
+        grid = self._grid_cache[1]
         if lat_cap == "auto":
             lat_cap = int(1.25 * self.mcfg.grid_res) + 16
         return render_swr(
@@ -234,4 +240,5 @@ class SwrTrainer:
             n_chunks=self.tcfg.n_chunks,
             white_bg=self.tcfg.white_bg,
             lat_cap=lat_cap,
+            skip_empty=True,
         )

@@ -213,3 +213,33 @@ def test_swr_deferred_matches_oracle(setup, eye):
     mse = float(np.mean((got - want) ** 2))
     psnr = -10 * np.log10(mse + 1e-12)
     assert psnr > 24.0, f"deferred swr/oracle mismatch: psnr={psnr:.2f}"
+
+
+def test_swr_skip_empty_matches(setup):
+    """skip_empty branches around zero-sigma slabs without changing the
+    image (hand-built grid: sigma only in a central band of slabs)."""
+    cfg, params, _ = setup
+    R, F = cfg.grid_res, cfg.features
+    rng = np.random.default_rng(7)
+    grid = np.zeros((R, R, R, F), np.float32)
+    band = slice(R // 2 - 4, R // 2 + 4)
+    grid[band, band, band, 0] = 3.0  # sigma
+    grid[band, band, band, 1:] = rng.normal(size=(8, 8, 8, F - 1))
+    grid = jnp.asarray(grid)
+    w = h = 24
+    K = np.array(
+        [[0.9 * w, 0, w / 2], [0, 0.9 * w, h / 2], [0, 0, 1]], np.float32
+    )
+    pose = look_at(
+        np.array([0.2, 0.3, -1.4]), np.zeros(3), np.array([0.0, 0.0, 1.0])
+    )
+    a = render_swr(params, grid, cfg, pose, K, (w, h), n_chunks=8)
+    b = render_swr(
+        params, grid, cfg, pose, K, (w, h), n_chunks=8, skip_empty=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["rgb"]), np.asarray(a["rgb"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["opacity"]), np.asarray(a["opacity"]), atol=1e-5
+    )

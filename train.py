@@ -115,7 +115,9 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
     from taichi_nerfs_tpu.train.metrics import ssim as ssim_fn
     from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
 
-    mcfg = PyramidConfig(scale=hparams.scale)
+    mcfg = PyramidConfig(
+        scale=hparams.scale, deferred=getattr(hparams, "deferred", False)
+    )
     w0, h0 = train_dataset.img_wh
     tcfg = SwrTrainConfig(
         crop=min(128, w0, h0),
