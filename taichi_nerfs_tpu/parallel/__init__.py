@@ -4,3 +4,8 @@ from .shard import (  # noqa: F401
     shard_batch,
     shard_state,
 )
+from .swr_shard import (  # noqa: F401
+    make_swr_sharded_step,
+    shard_swr_batch,
+    shard_swr_state,
+)

@@ -63,23 +63,22 @@ def create_swr_state(
     return SwrTrainState(params=params, opt_state=opt_state, rng=k2)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("mcfg", "tcfg", "axis", "flip", "slab_window"),
-    donate_argnames=("state",),
-)
-def swr_train_step(
-    state: SwrTrainState,
+def make_swr_loss(
     gt_image: jnp.ndarray,  # (H, W, 3)
     pose: jnp.ndarray,  # (3, 4)
     K: jnp.ndarray,  # (3, 3)
     crop_xy: jnp.ndarray,  # (2,) int32 top-left (x, y)
+    k_tv: jax.Array,
     mcfg: pyr.PyramidConfig,
     tcfg: SwrTrainConfig,
     axis: int,
     flip: bool,
     slab_window: int = 0,
-) -> Tuple[SwrTrainState, Dict[str, jnp.ndarray]]:
+):
+    """Build ``loss_fn(params) -> (loss, mse)`` for one training crop.
+
+    Shared by the single-chip step and the multi-chip (shard_map) step.
+    """
     c = tcfg.crop
     x0 = crop_xy[0]
     y0 = crop_xy[1]
@@ -89,8 +88,6 @@ def swr_train_step(
     # crop intrinsics: principal point shifts by the crop offset
     K_crop = K.at[0, 2].add(-x0.astype(jnp.float32))
     K_crop = K_crop.at[1, 2].add(-y0.astype(jnp.float32))
-
-    rng, k_tv = jax.random.split(state.rng)
 
     def loss_fn(params):
         grid = pyr.bake(params, mcfg)
@@ -130,6 +127,31 @@ def swr_train_step(
             loss = loss + tcfg.tv_w * tv
         return loss, mse
 
+    return loss_fn
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mcfg", "tcfg", "axis", "flip", "slab_window"),
+    donate_argnames=("state",),
+)
+def swr_train_step(
+    state: SwrTrainState,
+    gt_image: jnp.ndarray,  # (H, W, 3)
+    pose: jnp.ndarray,  # (3, 4)
+    K: jnp.ndarray,  # (3, 3)
+    crop_xy: jnp.ndarray,  # (2,) int32 top-left (x, y)
+    mcfg: pyr.PyramidConfig,
+    tcfg: SwrTrainConfig,
+    axis: int,
+    flip: bool,
+    slab_window: int = 0,
+) -> Tuple[SwrTrainState, Dict[str, jnp.ndarray]]:
+    rng, k_tv = jax.random.split(state.rng)
+    loss_fn = make_swr_loss(
+        gt_image, pose, K, crop_xy, k_tv, mcfg, tcfg, axis, flip,
+        slab_window,
+    )
     (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
     )

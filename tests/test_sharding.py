@@ -79,3 +79,48 @@ print("sharded-ok")
     res = _run_cpu(code)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "sharded-ok" in res.stdout
+
+
+@pytest.mark.slow
+def test_swr_sharded_step():
+    """Crop-parallel SWR step on 8 virtual devices: finite loss, params
+    replicated, and the pmean'd grads move params identically."""
+    code = """
+import dataclasses
+import jax, numpy as np
+import jax.numpy as jnp
+from taichi_nerfs_tpu.models.pyramid import PyramidConfig
+from taichi_nerfs_tpu.parallel import (
+    make_mesh, make_swr_sharded_step, shard_swr_batch, shard_swr_state,
+)
+from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, create_swr_state
+
+mcfg = PyramidConfig(resolutions=(8, 16), features=4, rgb_width=16)
+tcfg = SwrTrainConfig(crop=16, max_steps=10, n_chunks=4, tv_w=1e-3)
+mesh = make_mesh(8)
+state = shard_swr_state(
+    create_swr_state(jax.random.PRNGKey(0), mcfg, tcfg), mesh
+)
+rng = np.random.RandomState(0)
+D, H, W = 8, 24, 24
+images = jnp.asarray(rng.uniform(0, 1, (D, H, W, 3)), jnp.float32)
+pose = np.eye(3, 4, dtype=np.float32)
+pose[:, :3] = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
+pose[2, 3] = 1.5
+poses = jnp.asarray(np.stack([pose] * D))
+K = np.array([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]], np.float32)
+Ks = jnp.asarray(np.stack([K] * D))
+crops = jnp.asarray(rng.randint(0, 8, (D, 2)), jnp.int32)
+step = make_swr_sharded_step(mcfg, tcfg, mesh, axis=2, flip=True)
+batch = shard_swr_batch(mesh, images, poses, Ks, crops)
+state, metrics = step(state, *batch)
+assert np.isfinite(float(metrics["loss"])), metrics
+p = state.params["levels"][0]
+shards = [np.asarray(s.data) for s in p.addressable_shards]
+for s in shards[1:]:
+    np.testing.assert_array_equal(shards[0], s)
+print("swr-sharded-ok")
+"""
+    res = _run_cpu(code)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "swr-sharded-ok" in res.stdout
