@@ -26,21 +26,29 @@ def main():
     from taichi_nerfs_tpu.models.pyramid import PyramidConfig
     from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
 
-    cache = "/tmp/tnerf_bench_checker_v2.npz"
+    # throughput bench: gt content only feeds the loss value, so a few
+    # coarse views suffice (quality runs use scripts/eval_deferred.py)
+    cache = "/tmp/tnerf_bench_checker_v3.npz"
     if os.path.exists(cache):
         scene = SyntheticSphereDataset(
-            n_images=1, img_wh=(128, 128), variant="checker"
+            n_images=1, img_wh=(256, 256), variant="checker"
         )
         d = np.load(cache)
         scene.rays, scene.poses = d["rays"], d["poses"]
     else:
         scene = SyntheticSphereDataset(
-            n_images=24, img_wh=(128, 128), variant="checker", n_steps=512
+            n_images=8, img_wh=(256, 256), variant="checker", n_steps=256
         )
         np.savez(cache, rays=scene.rays, poses=scene.poses)
 
-    mcfg = PyramidConfig(resolutions=(32, 64, 128, 256), features=8)
-    tcfg = SwrTrainConfig(crop=128, lr=2e-2, max_steps=20000, n_chunks=16)
+    # deferred shading measured quality-parity with per-sample shading
+    # (scripts/eval_deferred.py: 24.6 vs 24.7 eval PSNR on this scene)
+    # at ~15% faster steps; crop 256 amortizes the bake + optimizer over
+    # 4x the rays/step
+    mcfg = PyramidConfig(
+        resolutions=(32, 64, 128, 256), features=8, deferred=True
+    )
+    tcfg = SwrTrainConfig(crop=256, lr=2e-2, max_steps=20000, n_chunks=16)
     trainer = SwrTrainer(
         mcfg, tcfg, scene.rays, scene.poses, scene.K, scene.img_wh
     )

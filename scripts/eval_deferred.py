@@ -14,17 +14,17 @@ import jax
 import numpy as np
 
 
-def run(deferred: bool, steps: int, crop: int = 128):
+def run(deferred: bool, steps: int, crop: int = 128, img: int = 128):
     from taichi_nerfs_tpu.data.synthetic import SyntheticSphereDataset
     from taichi_nerfs_tpu.models.pyramid import PyramidConfig
     from taichi_nerfs_tpu.train.metrics import psnr as psnr_fn
     from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
 
     train = SyntheticSphereDataset(
-        n_images=24, img_wh=(128, 128), variant="checker", n_steps=512
+        n_images=24, img_wh=(img, img), variant="checker", n_steps=512
     )
     test = SyntheticSphereDataset(
-        n_images=4, img_wh=(128, 128), variant="checker", n_steps=512,
+        n_images=4, img_wh=(img, img), variant="checker", n_steps=512,
         split="test",
     )
     mcfg = PyramidConfig(
@@ -49,8 +49,12 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--modes", default="normal,deferred")
+    ap.add_argument("--crop", type=int, default=128)
+    ap.add_argument("--img", type=int, default=128)
     args = ap.parse_args()
     for mode in args.modes.split(","):
-        psnr, dt = run(mode == "deferred", args.steps)
+        psnr, dt = run(
+            mode == "deferred", args.steps, crop=args.crop, img=args.img
+        )
         print(f"{mode}: eval_psnr={psnr:.2f} train_time={dt:.1f}s "
-              f"({args.steps} steps)")
+              f"({args.steps} steps, crop {args.crop})")

@@ -85,21 +85,30 @@ def render_gt_image(
     t0, t1 = 0.1, 2.5
     ts = np.linspace(t0, t1, n_steps, dtype=np.float32)
     dt = float(ts[1] - ts[0])
-    # fully vectorized over (rays, steps)
-    xyz = (
-        rays_o[:, None, :].astype(np.float32)
-        + ts[None, :, None] * rays_d[:, None, :].astype(np.float32)
-    )  # (R, S, 3)
     density_fn, albedo_fn = _VARIANTS[variant]
-    inside = np.all(np.abs(xyz) <= scale, axis=-1)
-    sigma = density_fn(xyz) * inside
-    alpha = 1.0 - np.exp(-sigma * dt)
-    trans = np.cumprod(1.0 - alpha + 1e-12, axis=1) / (1.0 - alpha + 1e-12)
-    wgt = alpha * trans  # (R, S)
-    rgb = np.einsum("rs,rsc->rc", wgt, albedo_fn(xyz))
-    if white_bg:
-        rgb += trans[:, -1:] * (1.0 - alpha[:, -1:])
-    return rgb.astype(np.float32).reshape(h * w, 3)
+    n = rays_d.shape[0]
+    rgb = np.empty((n, 3), np.float32)
+    # chunk over rays: the (R, S, 3) temporaries at full-image size are
+    # ~0.5 GB at 256^2x512 and thrash the page cache
+    chunk = max(1, (1 << 22) // n_steps)
+    for i in range(0, n, chunk):
+        xyz = (
+            rays_o[i : i + chunk, None, :].astype(np.float32)
+            + ts[None, :, None]
+            * rays_d[i : i + chunk, None, :].astype(np.float32)
+        )  # (r, S, 3)
+        inside = np.all(np.abs(xyz) <= scale, axis=-1)
+        sigma = density_fn(xyz) * inside
+        alpha = 1.0 - np.exp(-sigma * dt)
+        trans = np.cumprod(1.0 - alpha + 1e-12, axis=1) / (
+            1.0 - alpha + 1e-12
+        )
+        wgt = alpha * trans  # (r, S)
+        out = np.einsum("rs,rsc->rc", wgt, albedo_fn(xyz))
+        if white_bg:
+            out += trans[:, -1:] * (1.0 - alpha[:, -1:])
+        rgb[i : i + chunk] = out
+    return rgb.reshape(h * w, 3)
 
 
 class SyntheticSphereDataset(BaseDataset):

@@ -116,7 +116,8 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
     from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
 
     mcfg = PyramidConfig(
-        scale=hparams.scale, deferred=getattr(hparams, "deferred", False)
+        scale=hparams.scale,
+        deferred=getattr(hparams, "shading", "deferred") == "deferred",
     )
     w0, h0 = train_dataset.img_wh
     tcfg = SwrTrainConfig(
