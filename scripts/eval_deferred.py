@@ -37,12 +37,17 @@ def run(deferred: bool, steps: int, crop: int = 128, img: int = 128):
     tr.fit(steps, log_every=max(steps // 4, 1))
     dt = time.time() - t0
     w, h = test.img_wh
-    ps = []
+    ps, ps_full = [], []
     for i in range(len(test)):
-        out = tr.render(test.poses[i], img_wh=(w, h))
         gt = np.asarray(test.rays[i]).reshape(-1, 3)
+        out = tr.render(test.poses[i], img_wh=(w, h))
         ps.append(float(psnr_fn(np.asarray(out["rgb"]), gt)))
-    return float(np.mean(ps)), dt
+        # full-lattice render: no information loss from the lat cap
+        out = tr.render(test.poses[i], img_wh=(w, h), lat_cap=None)
+        ps_full.append(float(psnr_fn(np.asarray(out["rgb"]), gt)))
+    print(f"  lat-capped eval: {np.mean(ps):.2f}  "
+          f"full-lattice eval: {np.mean(ps_full):.2f}")
+    return float(np.mean(ps_full)), dt
 
 
 if __name__ == "__main__":

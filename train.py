@@ -119,9 +119,22 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         scale=hparams.scale,
         deferred=getattr(hparams, "shading", "deferred") == "deferred",
     )
+    # the sweep needs the camera outside the cube along its dominant axis
+    # (render/swr.py geometry); inside-camera rigs use the sample path
+    poses = np.asarray(train_dataset.poses, np.float32).reshape(-1, 3, 4)
+    axes = np.argmax(np.abs(poses[:, :, 2]), axis=1)
+    o_a = np.abs(poses[np.arange(len(poses)), axes, 3])
+    if (o_a <= hparams.scale * 1.05).any():
+        raise SystemExit(
+            "--model_name pyramid requires outside-looking-in cameras "
+            f"(min |origin along sweep axis| = {o_a.min():.3f} <= scale "
+            f"{hparams.scale}); use --model_name ngp for this scene"
+        )
     w0, h0 = train_dataset.img_wh
+    # crop 256 amortizes bake+optimizer over 4x the rays of 128 (bench.py:
+    # 1.33M vs 304K rays/s) at the same per-step latency
     tcfg = SwrTrainConfig(
-        crop=min(128, w0, h0),
+        crop=min(256, w0, h0),
         lr=hparams.lr,
         max_steps=hparams.max_steps,
         white_bg=(hparams.scale <= 0.5),
