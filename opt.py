@@ -42,6 +42,12 @@ def get_opts(prefix_args=None):
                              "faster steps, much faster compile) or "
                              "'per_sample' (shade every slab sample, the "
                              "reference's semantics)")
+    parser.add_argument("--sigma_res", type=int, default=0,
+                        help="pyramid model: optional single-channel "
+                             "density level at 2x the finest feature "
+                             "level (512 doubles silhouette resolution "
+                             "at ~1/8 the memory of a full level); 0 "
+                             "disables")
     parser.add_argument("--encoder_type", type=str, default="brick",
                         choices=["hash", "triplane", "brick"],
                         help="which encoder to use (brick = TPU-native "

@@ -14,21 +14,30 @@ import jax
 import numpy as np
 
 
-def run(deferred: bool, steps: int, crop: int = 128, img: int = 128):
+def run(
+    deferred: bool,
+    steps: int,
+    crop: int = 128,
+    img: int = 128,
+    sigma_res: int = 0,
+    n_images: int = 24,
+):
     from taichi_nerfs_tpu.data.synthetic import SyntheticSphereDataset
     from taichi_nerfs_tpu.models.pyramid import PyramidConfig
     from taichi_nerfs_tpu.train.metrics import psnr as psnr_fn
     from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
 
     train = SyntheticSphereDataset(
-        n_images=24, img_wh=(img, img), variant="checker", n_steps=512
+        n_images=n_images, img_wh=(img, img), variant="checker",
+        n_steps=512,
     )
     test = SyntheticSphereDataset(
         n_images=4, img_wh=(img, img), variant="checker", n_steps=512,
         split="test",
     )
     mcfg = PyramidConfig(
-        resolutions=(32, 64, 128, 256), features=8, deferred=deferred
+        resolutions=(32, 64, 128, 256), features=8, deferred=deferred,
+        sigma_res=sigma_res,
     )
     tcfg = SwrTrainConfig(crop=crop, lr=2e-2, max_steps=steps, n_chunks=16)
     tr = SwrTrainer(mcfg, tcfg, train.rays, train.poses, train.K,
@@ -56,10 +65,14 @@ if __name__ == "__main__":
     ap.add_argument("--modes", default="normal,deferred")
     ap.add_argument("--crop", type=int, default=128)
     ap.add_argument("--img", type=int, default=128)
+    ap.add_argument("--sigma_res", type=int, default=0)
+    ap.add_argument("--n_images", type=int, default=24)
     args = ap.parse_args()
     for mode in args.modes.split(","):
         psnr, dt = run(
-            mode == "deferred", args.steps, crop=args.crop, img=args.img
+            mode == "deferred", args.steps, crop=args.crop,
+            img=args.img, sigma_res=args.sigma_res,
+            n_images=args.n_images,
         )
         print(f"{mode}: eval_psnr={psnr:.2f} train_time={dt:.1f}s "
               f"({args.steps} steps, crop {args.crop})")

@@ -41,10 +41,28 @@ class PyramidConfig:
     # MLP+SH work by ~n_slabs x; the view-dependent model becomes
     # MLP(sum w*feats, d) rather than sum w*MLP(feats, d)
     deferred: bool = False
+    # split resolution: one extra SINGLE-CHANNEL density level at
+    # 2 * resolutions[-1].  Geometry (silhouettes, alpha edges) gets the
+    # fine grid; appearance stays at the streaming-friendly feature res.
+    # A full F-channel level at 512^3 would not fit HBM (4.3 GB params +
+    # 2x adam + baked grid); the sigma-only level is 1/8 of that
+    sigma_res: int = 0
+
+    def __post_init__(self):
+        if self.sigma_res:
+            assert self.sigma_res == 2 * self.resolutions[-1], (
+                "sigma_res must be 2x the finest feature level "
+                f"(got {self.sigma_res} vs {self.resolutions[-1]})"
+            )
 
     @property
     def grid_res(self) -> int:
+        """Finest *feature* resolution (the slab-sweep granularity)."""
         return self.resolutions[-1]
+
+    @property
+    def split(self) -> bool:
+        return bool(self.sigma_res)
 
 
 def rgb_mlp_spec(cfg: PyramidConfig) -> MLPSpec:
@@ -59,17 +77,23 @@ def rgb_mlp_spec(cfg: PyramidConfig) -> MLPSpec:
 
 
 def init_pyramid_params(key: jax.Array, cfg: PyramidConfig) -> Params:
-    keys = jax.random.split(key, len(cfg.resolutions) + 1)
+    keys = jax.random.split(key, len(cfg.resolutions) + 2)
     levels = []
-    for k, r in zip(keys[:-1], cfg.resolutions):
+    for k, r in zip(keys[:-2], cfg.resolutions):
         levels.append(
             1e-2
             * jax.random.normal(k, (r, r, r, cfg.features), jnp.float32)
         )
-    return {
+    params = {
         "levels": levels,
         "rgb_mlp": init_mlp(keys[-1], rgb_mlp_spec(cfg)),
     }
+    if cfg.split:
+        rs = cfg.sigma_res
+        params["sigma_level"] = 1e-2 * jax.random.normal(
+            keys[-2], (rs, rs, rs), jnp.float32
+        )
+    return params
 
 
 def _upsample_matrix(n_in: int, n_out: int) -> jnp.ndarray:
@@ -108,6 +132,11 @@ def bake(params: Params, cfg: PyramidConfig) -> jnp.ndarray:
     carries *sigma*, not its logit: the renderer's resamples zero-pad
     outside the scene, and zero sigma is transparency while a zero logit
     would be unit density (fog).
+
+    Split-resolution configs (``cfg.sigma_res``) return a tuple
+    ``(sigma (Rs, Rs, Rs), feats (Rf, Rf, Rf, F-1))``: the pyramid's
+    density-logit channel is upsampled to ``Rs`` and refined by the
+    dedicated single-channel fine level before TruncExp.
     """
     R = cfg.grid_res
     out = None
@@ -117,6 +146,11 @@ def bake(params: Params, cfg: PyramidConfig) -> jnp.ndarray:
         out = g if out is None else out + g
     if out.shape[0] != R:
         out = _upsample3(out, R)
+    if cfg.split:
+        logit = _upsample3(out[..., :1], cfg.sigma_res)[..., 0]
+        logit = logit + params["sigma_level"]
+        sigma = trunc_exp(logit + cfg.sigma_bias)
+        return sigma, out[..., 1:]
     sigma = trunc_exp(out[..., 0] + cfg.sigma_bias)
     return jnp.concatenate([sigma[..., None], out[..., 1:]], axis=-1)
 

@@ -191,6 +191,41 @@ def resample_matmul(
     return jnp.moveaxis(out, -1, axis)
 
 
+def resample_matmul_batched(
+    x: jnp.ndarray,
+    start: jnp.ndarray,
+    step: jnp.ndarray,
+    out_len: int,
+    axis: int,
+    dtype=None,
+) -> jnp.ndarray:
+    """Affine 1D resample along ``axis`` with a *per-leading-batch* affine
+    map: ``x`` is (B, ..., N, ...), ``start``/``step`` are (B,)-vectors,
+    and batch b uses its own interpolation matrix.  One batched MXU
+    ``dot_general`` — the shear-warp sweep uses this to resample a slab's
+    sigma sub-slab pair (two different world planes) in a single op.
+    """
+    axis = axis % x.ndim
+    assert axis != 0, "axis 0 is the batch dimension"
+    n = x.shape[axis]
+    m = jnp.arange(n, dtype=jnp.float32)[None, :, None]  # (1, N, 1)
+    pos = (
+        start[:, None, None]
+        + jnp.arange(out_len, dtype=jnp.float32)[None, None, :]
+        * step[:, None, None]
+    )  # (B, 1, out_len)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(m - pos)).astype(dtype or x.dtype)
+    out = jax.lax.dot_general(
+        x,
+        w,
+        dimension_numbers=(((axis,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, <other dims>, out_len)
+    if dtype is not None:
+        out = out.astype(dtype)
+    return jnp.moveaxis(out, -1, axis)
+
+
 def resample_window(
     step_abs_max: float, out_len: int, multiple: int = 32
 ) -> int:

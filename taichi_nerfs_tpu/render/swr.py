@@ -39,7 +39,11 @@ import jax.numpy as jnp
 
 from ..models import pyramid as pyr
 from ..ops.sh import sh_encode
-from ..ops.warp import resample_matmul, resample_matmul_windowed
+from ..ops.warp import (
+    resample_matmul,
+    resample_matmul_batched,
+    resample_matmul_windowed,
+)
 
 
 @partial(
@@ -115,26 +119,48 @@ def render_swr_fixed_axis(
     w_img, h_img = img_wh
     nq = lat_size if lat_size else max(w_img, h_img) + lat_pad
     rs_dtype = jnp.dtype(resample_dtype)
+    # split-resolution grid (cfg.sigma_res): sigma lives on a 2x finer
+    # grid than the features; the sweep stays at feature granularity but
+    # each feature slab composites its TWO sigma sub-slabs
+    split = isinstance(grid, tuple)
 
-    def slab_resample(x, start, step, axis_):
+    def slab_resample(x, start, step, axis_, window=slab_window):
         # operands in rs_dtype, fp32 accumulation, fp32 result
         x = x.astype(rs_dtype)
-        if slab_window:
+        if window:
             out = resample_matmul_windowed(
-                x, start, step, nq, axis_, slab_window
+                x, start, step, nq, axis_, window
             )
         else:
             out = resample_matmul(x, start, step, nq, axis_)
         return out.astype(jnp.float32)
 
     b_axis, c_axis = [d for d in range(3) if d != axis]
-    # vol: (D, F, Rb, Rc) — channel-leading minor block keeps (sublane,
-    # lane) = (Rb, Rc) dense
-    vol = jnp.transpose(grid, (axis, 3, b_axis, c_axis))
     zs = -s + (jnp.arange(R, dtype=jnp.float32) + 0.5) * h
-    if flip:
-        vol = vol[::-1]
-        zs = zs[::-1]
+    if split:
+        sigma_g, feat_g = grid
+        Rs = cfg.sigma_res
+        h_s = 2.0 * s / Rs
+        # vol: (D, F-1, Rb, Rc); vol_s: (D, 2, Rsb, Rsc) — sub-slab pairs
+        vol = jnp.transpose(feat_g, (axis, 3, b_axis, c_axis))
+        vol_s = jnp.transpose(sigma_g, (axis, b_axis, c_axis))
+        zs_s = -s + (jnp.arange(Rs, dtype=jnp.float32) + 0.5) * h_s
+        if flip:
+            vol = vol[::-1]
+            vol_s = vol_s[::-1]
+            zs = zs[::-1]
+            zs_s = zs_s[::-1]
+        # after an optional flip, consecutive sub-slab pairs still belong
+        # to one feature slab, in near-to-far order
+        vol_s = vol_s.reshape(R, 2, Rs, Rs)
+        zs_s2 = zs_s.reshape(R, 2)
+    else:
+        # vol: (D, F, Rb, Rc) — channel-leading minor block keeps
+        # (sublane, lane) = (Rb, Rc) dense
+        vol = jnp.transpose(grid, (axis, 3, b_axis, c_axis))
+        if flip:
+            vol = vol[::-1]
+            zs = zs[::-1]
 
     o = pose[:, 3]
     o_a, o_b, o_c = o[axis], o[b_axis], o[c_axis]
@@ -176,10 +202,21 @@ def render_swr_fixed_axis(
         )
 
     dc_slabs = R // n_chunks
-    vol_c = vol.reshape(n_chunks, dc_slabs, F, R, R)
     zs_c = zs.reshape(n_chunks, dc_slabs)
     # per-slab occupancy (max sigma): drives the eval-time slab skip
-    occ_c = jnp.max(vol[:, 0], axis=(1, 2)).reshape(n_chunks, dc_slabs)
+    if split:
+        nF = F - 1
+        vol_c = vol.reshape(n_chunks, dc_slabs, nF, R, R)
+        vol_s_c = vol_s.reshape(n_chunks, dc_slabs, 2, Rs, Rs)
+        zs_s_c = zs_s2.reshape(n_chunks, dc_slabs, 2)
+        occ_c = jnp.max(vol_s, axis=(1, 2, 3)).reshape(
+            n_chunks, dc_slabs
+        )
+    else:
+        vol_c = vol.reshape(n_chunks, dc_slabs, F, R, R)
+        occ_c = jnp.max(vol[:, 0], axis=(1, 2)).reshape(
+            n_chunks, dc_slabs
+        )
 
     # global frame on the cube-center plane
     g_b0, g_db, g_c0, g_dc = frame_at(jnp.float32(0.0))
@@ -188,9 +225,13 @@ def render_swr_fixed_axis(
     # deferred shading composites the (F-1) feature channels instead of rgb
     acc_ch = (F - 1) if cfg.deferred else 3
 
+    # the sigma sub-slab resample step is 2x the feature step in index
+    # units (h_s = h/2), so its static source window doubles
+    sigma_window = 2 * slab_window if (split and slab_window) else 0
+
     def chunk_body(carry, inp):
         acc_g, depth_g, t_g = carry
-        slabs, z_slabs, occ_slabs = inp
+        z_slabs = inp["z"]
         z_ref = jnp.mean(z_slabs)
         f_b0, f_db, f_c0, f_dc = frame_at(z_ref)
         qb = f_b0 + lat_i * f_db  # (nq,) world b coords on this frame
@@ -215,45 +256,91 @@ def render_swr_fixed_axis(
             dirs = jnp.stack(comps, axis=-1)  # (nq, nq, 3)
             d_enc = sh_encode((dirs + 1.0) / 2.0)
 
-        def slab_work(carry_s, slab, z_k):
-            acc, depth_acc, t_acc = carry_s
+        def resample_to_lattice(x, z_k, h_src, window):
+            # source index of lattice i: m(i) = (p_b + s)/h_src - 1/2
+            # with p_b = o_b + (q_i - o_b)/rho
             rho = (z_ref - o_a) / (z_k - o_a)
-            # source index of lattice i: m(i) = (p_b + s)/h - 1/2 with
-            # p_b = o_b + (q_i - o_b)/rho
-            start_b = (o_b + (qb[0] - o_b) / rho + s) / h - 0.5
-            start_c = (o_c + (qc[0] - o_c) / rho + s) / h - 0.5
-            step_b = f_db / (rho * h)
-            step_c = f_dc / (rho * h)
-            sq = slab_resample(slab, start_b, step_b, 1)
-            sq = slab_resample(sq, start_c, step_c, 2)
-            slab_q = jnp.moveaxis(sq, 0, -1)  # (nq, nq, F)
-            sigma = pyr.density_from_grid(slab_q)
-            feats = slab_q[..., 1:]  # (nq, nq, F-1)
+            start_b = (o_b + (qb[0] - o_b) / rho + s) / h_src - 0.5
+            start_c = (o_c + (qc[0] - o_c) / rho + s) / h_src - 0.5
+            step_b = f_db / (rho * h_src)
+            step_c = f_dc / (rho * h_src)
+            sq = slab_resample(x, start_b, step_b, 1, window)
+            return slab_resample(sq, start_c, step_c, 2, window)
+
+        def slab_work(carry_s, inp_s):
+            acc, depth_acc, t_acc = carry_s
+            if split:
+                # features at slab granularity; alpha from the two sigma
+                # sub-slabs (each with its own affine map)
+                fq = resample_to_lattice(
+                    inp_s["f"], inp_s["z"], h, slab_window
+                )
+                feats = jnp.moveaxis(fq, 0, -1)  # (nq, nq, F-1)
+                z_s = inp_s["zs"]
+                if sigma_window:
+                    s0 = resample_to_lattice(
+                        inp_s["s"][0:1], z_s[0], h_s, sigma_window
+                    )[0]
+                    s1 = resample_to_lattice(
+                        inp_s["s"][1:2], z_s[1], h_s, sigma_window
+                    )[0]
+                else:
+                    # both sub-slabs in one batched matmul (each world
+                    # plane has its own affine map)
+                    rho = (z_ref - o_a) / (z_s - o_a)  # (2,)
+                    sb = (o_b + (qb[0] - o_b) / rho + s) / h_s - 0.5
+                    sc = (o_c + (qc[0] - o_c) / rho + s) / h_s - 0.5
+                    stb = f_db / (rho * h_s)
+                    stc = f_dc / (rho * h_s)
+                    sp = inp_s["s"].astype(rs_dtype)  # (2, Rs, Rs)
+                    sp = resample_matmul_batched(sp, sb, stb, nq, 1)
+                    sp = resample_matmul_batched(sp, sc, stc, nq, 2)
+                    sp = sp.astype(jnp.float32)
+                    s0, s1 = sp[0], sp[1]
+                dt_s = 0.5 * dt
+                a0 = 1.0 - jnp.exp(-jnp.maximum(s0, 0.0) * dt_s)
+                a1 = 1.0 - jnp.exp(-jnp.maximum(s1, 0.0) * dt_s)
+                w0 = a0 * t_acc
+                w1 = a1 * t_acc * (1.0 - a0)
+                w = w0 + w1
+                sgn = jnp.sign(va)
+                depth_contrib = (
+                    w0 * ((z_s[0] - o_a) * inv_da * sgn)
+                    + w1 * ((z_s[1] - o_a) * inv_da * sgn)
+                )
+                t_next = t_acc * (1.0 - a0) * (1.0 - a1)
+            else:
+                sq = resample_to_lattice(
+                    inp_s["f"], inp_s["z"], h, slab_window
+                )
+                slab_q = jnp.moveaxis(sq, 0, -1)  # (nq, nq, F)
+                sigma = pyr.density_from_grid(slab_q)
+                feats = slab_q[..., 1:]  # (nq, nq, F-1)
+                alpha = 1.0 - jnp.exp(-sigma * dt)
+                w = alpha * t_acc
+                t_ray = (inp_s["z"] - o_a) * inv_da * jnp.sign(va)
+                depth_contrib = w * t_ray
+                t_next = t_acc * (1.0 - alpha)
             if cfg.deferred:
                 contrib = feats
             else:
                 contrib = pyr.rgb_from_features_enc(
                     params, cfg, feats, d_enc
                 )
-            alpha = 1.0 - jnp.exp(-sigma * dt)
-            w = alpha * t_acc
-            t_ray = (z_k - o_a) * inv_da * jnp.sign(va)
             acc = acc + w[..., None] * contrib
-            depth_acc = depth_acc + w * t_ray
-            t_acc = t_acc * (1.0 - alpha)
-            return (acc, depth_acc, t_acc)
+            depth_acc = depth_acc + depth_contrib
+            return (acc, depth_acc, t_next)
 
         def slab_body(carry_s, inp_s):
-            slab, z_k, occ_k = inp_s  # (F, R, R), (), ()
             if skip_empty:
                 carry_s = jax.lax.cond(
-                    occ_k > 1e-4,
-                    lambda c: slab_work(c, slab, z_k),
+                    inp_s["occ"] > 1e-4,
+                    lambda c: slab_work(c, inp_s),
                     lambda c: c,
                     carry_s,
                 )
             else:
-                carry_s = slab_work(carry_s, slab, z_k)
+                carry_s = slab_work(carry_s, inp_s)
             return carry_s, None
 
         init = (
@@ -265,7 +352,7 @@ def render_swr_fixed_axis(
         # frame + MLP activations (~85 GB at R=256); recomputing them per
         # slab keeps the live set at the carry size
         (acc_c, depth_c, t_c), _ = jax.lax.scan(
-            jax.checkpoint(slab_body), init, (slabs, z_slabs, occ_slabs)
+            jax.checkpoint(slab_body), init, inp
         )
 
         # fold this chunk's frame into the global frame: the ray at global
@@ -299,12 +386,16 @@ def render_swr_fixed_axis(
         jnp.zeros((nq, nq), jnp.float32),
         jnp.ones((nq, nq), jnp.float32),
     )
+    xs = {"f": vol_c, "z": zs_c, "occ": occ_c}
+    if split:
+        xs["s"] = vol_s_c
+        xs["zs"] = zs_s_c
     # no outer remat: the slab scan inside is already checkpointed, so the
     # per-chunk residuals are just the (nq, nq) frame images — cheap to
     # store, and re-running the whole slab sweep in backward would double
     # the heavy work
     (acc_g, depth_g, t_g), chunk_dbg = jax.lax.scan(
-        chunk_body, init_g, (vol_c, zs_c, occ_c)
+        chunk_body, init_g, xs
     )
 
     # final projective warp: pixel -> global-frame lattice coords

@@ -107,23 +107,31 @@ def make_swr_loss(
         mse = jnp.mean((out["rgb"] - gt) ** 2)
         loss = mse
         if tcfg.sigma_l1 > 0:
-            loss = loss + tcfg.sigma_l1 * jnp.mean(grid[..., 0])
+            sigma = grid[0] if mcfg.split else grid[..., 0]
+            loss = loss + tcfg.sigma_l1 * jnp.mean(sigma)
         if tcfg.tv_w > 0:
             tv = 0.0
             for g in params["levels"][:-1]:
                 for ax in range(3):
                     d = jnp.diff(g, axis=ax)
                     tv = tv + jnp.mean(d * d)
-            # finest level dominates the cost: sample a random slab window
-            # each step (Plenoxels-style stochastic TV, ~1/4 the traffic)
-            fine = params["levels"][-1]
-            rf = fine.shape[0]
-            win = max(rf // 4, 2)
-            s0 = jax.random.randint(k_tv, (), 0, rf - win + 1)
-            sl = jax.lax.dynamic_slice_in_dim(fine, s0, win, axis=0)
-            for ax in range(3):
-                d = jnp.diff(sl, axis=ax)
-                tv = tv + jnp.mean(d * d)
+            # finest level(s) dominate the cost: sample a random slab
+            # window each step (Plenoxels-style stochastic TV, ~1/4 the
+            # traffic); in split mode both the finest feature level and
+            # the sigma level get windowed TV
+            fines = [params["levels"][-1]]
+            if mcfg.split:
+                fines.append(params["sigma_level"][..., None])
+            for i, fine in enumerate(fines):
+                rf = fine.shape[0]
+                win = max(rf // 4, 2)
+                s0 = jax.random.randint(
+                    jax.random.fold_in(k_tv, i), (), 0, rf - win + 1
+                )
+                sl = jax.lax.dynamic_slice_in_dim(fine, s0, win, axis=0)
+                for ax in range(3):
+                    d = jnp.diff(sl, axis=ax)
+                    tv = tv + jnp.mean(d * d)
             loss = loss + tcfg.tv_w * tv
         return loss, mse
 

@@ -243,3 +243,95 @@ def test_swr_skip_empty_matches(setup):
     np.testing.assert_allclose(
         np.asarray(b["opacity"]), np.asarray(a["opacity"]), atol=1e-5
     )
+
+
+def test_swr_split_resolution_matches_oracle():
+    """Split grid (sigma at 2R, features at R): per-ray oracle marches
+    the sigma sub-slab planes, shares the feature value across each
+    sub-slab pair, composites front-to-back (deferred shading)."""
+    import dataclasses
+
+    cfg = pyr.PyramidConfig(
+        resolutions=(8, 16), features=4, rgb_width=16, scale=0.5,
+        sigma_bias=0.0, sigma_res=32, deferred=True,
+    )
+    params = pyr.init_pyramid_params(jax.random.PRNGKey(1), cfg)
+    Rs = cfg.sigma_res
+    c = (jnp.arange(Rs) + 0.5) / Rs - 0.5
+    xx, yy, zz = jnp.meshgrid(c, c, c, indexing="ij")
+    r = jnp.sqrt(xx**2 + yy**2 + zz**2)
+    params["sigma_level"] = params["sigma_level"] + 2.0 * jnp.exp(
+        -((r / 0.25) ** 2)
+    )
+    grid = pyr.bake(params, cfg)
+    sigma_np = np.asarray(grid[0], np.float64)[..., None]
+    feat_np = np.asarray(grid[1], np.float64)
+
+    w = h = 32
+    focal = 0.9 * w
+    K = np.array(
+        [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32
+    )
+    pose = look_at(
+        np.array([0.15, 0.25, -1.3]), np.zeros(3),
+        np.array([0.0, 0.0, 1.0]),
+    ).astype(np.float64)
+
+    out = render_swr(params, grid, cfg, pose, K, (w, h), n_chunks=4)
+    got = np.asarray(out["rgb"])
+
+    # ---- oracle
+    s, R = cfg.scale, cfg.grid_res
+    hf, hs = 2.0 * s / R, 2.0 * s / Rs
+    o = pose[:, 3]
+    axis = int(np.argmax(np.abs(pose[:, 2])))
+    zf = -s + (np.arange(R) + 0.5) * hf
+    zsub = -s + (np.arange(Rs) + 0.5) * hs
+    if o[axis] > 0:
+        zf, zsub = zf[::-1], zsub[::-1]
+    zsub = zsub.reshape(R, 2)
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    dc = np.stack(
+        [
+            (uu.ravel() - K[0, 2] + 0.5) / K[0, 0],
+            (vv.ravel() - K[1, 2] + 0.5) / K[1, 1],
+            np.ones(w * h),
+        ],
+        axis=1,
+    )
+    d = dc @ pose[:, :3].T
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    n = d.shape[0]
+    T = np.ones(n)
+    feat_acc = np.zeros((n, cfg.features - 1))
+    dts = hs / np.abs(d[:, axis])
+    for j in range(R):
+        t_f = (zf[j] - o[axis]) / d[:, axis]
+        p_f = o[None, :] + t_f[:, None] * d
+        fj = _trilinear_vec(feat_np, p_f, s, hf)
+        ws = np.zeros(n)
+        for i_sub in range(2):
+            t_s = (zsub[j, i_sub] - o[axis]) / d[:, axis]
+            live = t_s > 0
+            p_s = o[None, :] + t_s[:, None] * d
+            sg = np.maximum(
+                _trilinear_vec(sigma_np, p_s, s, hs)[:, 0], 0.0
+            ) * live
+            a = 1.0 - np.exp(-sg * dts)
+            ws += a * T
+            T *= 1.0 - a
+        feat_acc += ws[:, None] * fj
+    opacity = 1.0 - T
+    denc = _np_sh16((d + 1.0) / 2.0)
+    feat_avg = feat_acc / np.maximum(opacity[:, None], 1e-6)
+    want = (
+        _np_mlp(
+            params["rgb_mlp"], np.concatenate([denc, feat_avg], axis=1)
+        )
+        * opacity[:, None]
+        + T[:, None]
+    )
+    mse = float(np.mean((got - want) ** 2))
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 24.0, f"split swr/oracle mismatch: psnr={psnr:.2f}"
+    assert float(np.max(out["opacity"])) > 0.3

@@ -118,6 +118,7 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
     mcfg = PyramidConfig(
         scale=hparams.scale,
         deferred=getattr(hparams, "shading", "deferred") == "deferred",
+        sigma_res=getattr(hparams, "sigma_res", 0),
     )
     # the sweep needs the camera outside the cube along its dominant axis
     # (render/swr.py geometry); inside-camera rigs use the sample path
@@ -154,10 +155,16 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
 
     os.makedirs(val_dir, exist_ok=True)
     flat = jax.device_get(trainer.state.params)
+    extra = (
+        {"sigma_level": flat["sigma_level"]}
+        if "sigma_level" in flat
+        else {}
+    )
     np.savez(
         os.path.join(val_dir, "model_pyramid.npz"),
         **{f"level_{i}": g for i, g in enumerate(flat["levels"])},
         **{f"rgb_mlp_{k}": v for k, v in flat["rgb_mlp"].items()},
+        **extra,
     )
 
     w, h = test_dataset.img_wh
