@@ -62,6 +62,7 @@ from ..ops.warp import (
         "resample_dtype",
         "skip_empty",
         "warp",
+        "want_distortion",
     ),
 )
 def render_swr_fixed_axis(
@@ -82,6 +83,7 @@ def render_swr_fixed_axis(
     resample_dtype: str = "float32",
     skip_empty: bool = False,
     warp: str = "matmul",
+    want_distortion: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Render with a statically chosen sweep axis/direction.
 
@@ -111,6 +113,12 @@ def render_swr_fixed_axis(
         warp: final pixel warp — "matmul" (two-pass Catmull-Smith
             homography as batched band matmuls; gather-free, fast
             transpose) or "gather" (one packed bilinear gather).
+        want_distortion: also accumulate the Mip-NeRF-360 distortion loss
+            per pixel (reference modules/distortion.py, DVGO running-sum
+            form).  The carry already holds the prefix sums it needs
+            (S_w = 1 - T, S_wt = depth numerator), and the cross-chunk
+            pair terms close over the warped chunk sums at fold time, so
+            the extra cost is one lattice map per frame.
     """
     s = cfg.scale
     R = cfg.grid_res
@@ -230,7 +238,10 @@ def render_swr_fixed_axis(
     sigma_window = 2 * slab_window if (split and slab_window) else 0
 
     def chunk_body(carry, inp):
-        acc_g, depth_g, t_g = carry
+        if want_distortion:
+            acc_g, depth_g, t_g, dist_g = carry
+        else:
+            acc_g, depth_g, t_g = carry
         z_slabs = inp["z"]
         z_ref = jnp.mean(z_slabs)
         f_b0, f_db, f_c0, f_dc = frame_at(z_ref)
@@ -268,7 +279,10 @@ def render_swr_fixed_axis(
             return slab_resample(sq, start_c, step_c, 2, window)
 
         def slab_work(carry_s, inp_s):
-            acc, depth_acc, t_acc = carry_s
+            if want_distortion:
+                acc, depth_acc, t_acc, dist_acc = carry_s
+            else:
+                acc, depth_acc, t_acc = carry_s
             if split:
                 # features at slab granularity; alpha from the two sigma
                 # sub-slabs (each with its own affine map)
@@ -304,11 +318,23 @@ def render_swr_fixed_axis(
                 w1 = a1 * t_acc * (1.0 - a0)
                 w = w0 + w1
                 sgn = jnp.sign(va)
-                depth_contrib = (
-                    w0 * ((z_s[0] - o_a) * inv_da * sgn)
-                    + w1 * ((z_s[1] - o_a) * inv_da * sgn)
-                )
+                t0r = (z_s[0] - o_a) * inv_da * sgn
+                t1r = (z_s[1] - o_a) * inv_da * sgn
+                depth_contrib = w0 * t0r + w1 * t1r
                 t_next = t_acc * (1.0 - a0) * (1.0 - a1)
+                if want_distortion:
+                    s_w = 1.0 - t_acc
+                    s_wt = depth_acc
+                    dcon = (
+                        2.0 * w0 * (t0r * s_w - s_wt)
+                        + w0 * w0 * dt_s / 3.0
+                    )
+                    s_w = s_w + w0
+                    s_wt = s_wt + w0 * t0r
+                    dcon = dcon + (
+                        2.0 * w1 * (t1r * s_w - s_wt)
+                        + w1 * w1 * dt_s / 3.0
+                    )
             else:
                 sq = resample_to_lattice(
                     inp_s["f"], inp_s["z"], h, slab_window
@@ -321,6 +347,11 @@ def render_swr_fixed_axis(
                 t_ray = (inp_s["z"] - o_a) * inv_da * jnp.sign(va)
                 depth_contrib = w * t_ray
                 t_next = t_acc * (1.0 - alpha)
+                if want_distortion:
+                    dcon = (
+                        2.0 * w * (t_ray * (1.0 - t_acc) - depth_acc)
+                        + w * w * dt / 3.0
+                    )
             if cfg.deferred:
                 contrib = feats
             else:
@@ -329,6 +360,8 @@ def render_swr_fixed_axis(
                 )
             acc = acc + w[..., None] * contrib
             depth_acc = depth_acc + depth_contrib
+            if want_distortion:
+                return (acc, depth_acc, t_next, dist_acc + dcon)
             return (acc, depth_acc, t_next)
 
         def slab_body(carry_s, inp_s):
@@ -348,12 +381,19 @@ def render_swr_fixed_axis(
             jnp.zeros((nq, nq), jnp.float32),
             jnp.ones((nq, nq), jnp.float32),
         )
+        if want_distortion:
+            init = init + (jnp.zeros((nq, nq), jnp.float32),)
         # remat: without it the backward stores every slab's resampled
         # frame + MLP activations (~85 GB at R=256); recomputing them per
         # slab keeps the live set at the carry size
-        (acc_c, depth_c, t_c), _ = jax.lax.scan(
-            jax.checkpoint(slab_body), init, inp
-        )
+        if want_distortion:
+            (acc_c, depth_c, t_c, dist_c), _ = jax.lax.scan(
+                jax.checkpoint(slab_body), init, inp
+            )
+        else:
+            (acc_c, depth_c, t_c), _ = jax.lax.scan(
+                jax.checkpoint(slab_body), init, inp
+            )
 
         # fold this chunk's frame into the global frame: the ray at global
         # lattice q_g crosses the chunk plane at q_c = o + (q_g - o)*rho_cg
@@ -362,23 +402,37 @@ def render_swr_fixed_axis(
         step_b = g_db * rho_cg / f_db
         start_c = (o_c * (1 - rho_cg) + g_c0 * rho_cg - f_c0) / f_dc
         step_c = g_dc * rho_cg / f_dc
-        packed = jnp.concatenate(
-            [
-                jnp.moveaxis(acc_c, -1, 0),
-                depth_c[None],
-                (1.0 - t_c)[None],
-            ],
-            axis=0,
-        )  # (acc_ch + 2, nq, nq)
+        chans = [
+            jnp.moveaxis(acc_c, -1, 0),
+            depth_c[None],
+            (1.0 - t_c)[None],
+        ]
+        if want_distortion:
+            chans.append(dist_c[None])
+        packed = jnp.concatenate(chans, axis=0)  # (acc_ch + 2 [+1], nq, nq)
         packed = resample_matmul(packed, start_b, step_b, nq, axis=1)
         packed = resample_matmul(packed, start_c, step_c, nq, axis=2)
         acc_w = jnp.moveaxis(packed[:acc_ch], 0, -1)
         depth_w = packed[acc_ch]
-        t_w = 1.0 - packed[acc_ch + 1]
+        op_w = packed[acc_ch + 1]  # chunk-local accumulated weight
+        t_w = 1.0 - op_w
+        if want_distortion:
+            # chunk-local pair terms scale by t_g^2 (global weight of a
+            # chunk sample is t_g * w); cross-chunk pairs close over the
+            # global prefix sums (S_W = 1 - t_g, S_Wt = depth_g)
+            dist_g = (
+                dist_g
+                + t_g * t_g * packed[acc_ch + 2]
+                + 2.0
+                * t_g
+                * ((1.0 - t_g) * depth_w - depth_g * op_w)
+            )
         acc_g = acc_g + t_g[..., None] * acc_w
         depth_g = depth_g + t_g * depth_w
         t_g = t_g * t_w
         dbg = (acc_c, t_c, packed) if debug_frames else None
+        if want_distortion:
+            return (acc_g, depth_g, t_g, dist_g), dbg
         return (acc_g, depth_g, t_g), dbg
 
     init_g = (
@@ -386,6 +440,8 @@ def render_swr_fixed_axis(
         jnp.zeros((nq, nq), jnp.float32),
         jnp.ones((nq, nq), jnp.float32),
     )
+    if want_distortion:
+        init_g = init_g + (jnp.zeros((nq, nq), jnp.float32),)
     xs = {"f": vol_c, "z": zs_c, "occ": occ_c}
     if split:
         xs["s"] = vol_s_c
@@ -394,9 +450,14 @@ def render_swr_fixed_axis(
     # per-chunk residuals are just the (nq, nq) frame images — cheap to
     # store, and re-running the whole slab sweep in backward would double
     # the heavy work
-    (acc_g, depth_g, t_g), chunk_dbg = jax.lax.scan(
-        chunk_body, init_g, xs
-    )
+    if want_distortion:
+        (acc_g, depth_g, t_g, dist_g), chunk_dbg = jax.lax.scan(
+            chunk_body, init_g, xs
+        )
+    else:
+        (acc_g, depth_g, t_g), chunk_dbg = jax.lax.scan(
+            chunk_body, init_g, xs
+        )
 
     # final projective warp: pixel -> global-frame lattice coords
     u = jnp.arange(w_img, dtype=jnp.float32)
@@ -419,9 +480,10 @@ def render_swr_fixed_axis(
     lj = (pc - g_c0) / g_dc
     behind = t_hit <= 0.0
 
-    img = jnp.concatenate(
-        [acc_g, depth_g[..., None], (1.0 - t_g)[..., None]], axis=-1
-    )  # (nq, nq, acc_ch + 2)
+    img_ch = [acc_g, depth_g[..., None], (1.0 - t_g)[..., None]]
+    if want_distortion:
+        img_ch.append(dist_g[..., None])
+    img = jnp.concatenate(img_ch, axis=-1)  # (nq, nq, acc_ch + 2 [+1])
 
     if warp == "gather":
         # one bilinear gather: pack the 2x2 neighbourhood into one wide
@@ -533,6 +595,8 @@ def render_swr_fixed_axis(
         "depth": depth.reshape(h_img * w_img),
         "opacity": opacity.reshape(h_img * w_img),
     }
+    if want_distortion:
+        out["distortion"] = pix[..., acc_ch + 2].reshape(h_img * w_img)
     if debug_frames:
         out["global_frame"] = img
         out["chunk_debug"] = chunk_dbg

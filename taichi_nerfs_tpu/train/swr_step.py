@@ -39,6 +39,9 @@ class SwrTrainConfig:
     # defence against floater overfitting, as in Plenoxels/DVGO); scaled by
     # each level's cell size so all levels feel comparable pressure
     tv_w: float = 3e-3
+    # Mip-NeRF-360 distortion loss (reference --distortion_loss_w,
+    # modules/distortion.py); computed inside the sweep from running sums
+    distortion_w: float = 0.0
 
 
 class SwrTrainState(NamedTuple):
@@ -103,9 +106,12 @@ def make_swr_loss(
             n_chunks=tcfg.n_chunks,
             white_bg=tcfg.white_bg,
             slab_window=slab_window,
+            want_distortion=tcfg.distortion_w > 0,
         )
         mse = jnp.mean((out["rgb"] - gt) ** 2)
         loss = mse
+        if tcfg.distortion_w > 0:
+            loss = loss + tcfg.distortion_w * jnp.mean(out["distortion"])
         if tcfg.sigma_l1 > 0:
             sigma = grid[0] if mcfg.split else grid[..., 0]
             loss = loss + tcfg.sigma_l1 * jnp.mean(sigma)

@@ -139,6 +139,7 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         lr=hparams.lr,
         max_steps=hparams.max_steps,
         white_bg=(hparams.scale <= 0.5),
+        distortion_w=hparams.distortion_loss_w,
     )
     trainer = SwrTrainer(
         mcfg,
