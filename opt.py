@@ -42,6 +42,12 @@ def get_opts(prefix_args=None):
                              "faster steps, much faster compile) or "
                              "'per_sample' (shade every slab sample, the "
                              "reference's semantics)")
+    parser.add_argument("--features", type=int, default=16,
+                        help="pyramid model: channels per pyramid level "
+                             "(1 density + F-1 appearance).  Measured on "
+                             "the 800^2 checker proxy: 16 is +2.2 dB "
+                             "over 8 at ~1.4x step cost; 24 +2.8 dB at "
+                             "~1.8x; 32 exceeds HBM with fp32 adam state")
     parser.add_argument("--sigma_res", type=int, default=0,
                         help="pyramid model: optional single-channel "
                              "density level at 2x the finest feature "

@@ -66,12 +66,12 @@ def main():
 
     base = dict(steps=args.steps, lr=2e-2, tv_w=3e-3, sigma_l1=1e-5,
                 features=8)
-    # round 3: f24 won round 2 (26.30 @ 1900); f32 OOMs (fp32 adam state)
+    # round 4: deep runs are generalization-bound (train 39.5 / eval
+    # ~29); more views is the lever to test
     sweeps = [
-        ("f24 tv3e-3    ", {"features": 24, "tv_w": 3e-3}),
-        ("f24 tv1e-3 2x ", {"features": 24, "tv_w": 1e-3,
-                            "steps": 2 * args.steps}),
         ("f16 tv3e-3 2x ", {"features": 16, "tv_w": 3e-3,
+                            "steps": 2 * args.steps}),
+        ("f24 tv1e-3 2x ", {"features": 24, "tv_w": 1e-3,
                             "steps": 2 * args.steps}),
     ]
     for name, over in sweeps:

@@ -119,6 +119,7 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         scale=hparams.scale,
         deferred=getattr(hparams, "shading", "deferred") == "deferred",
         sigma_res=getattr(hparams, "sigma_res", 0),
+        features=getattr(hparams, "features", 16),
     )
     # the sweep needs the camera outside the cube along its dominant axis
     # (render/swr.py geometry); inside-camera rigs use the sample path
