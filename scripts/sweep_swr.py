@@ -16,7 +16,8 @@ import numpy as np
 
 
 def run_cfg(train, test, *, steps, lr, tv_w, sigma_l1, features,
-            sigma_res=0, crop=256, n_chunks=16):
+            sigma_res=0, crop=256, n_chunks=16,
+            resample_dtype="float32"):
     import jax
 
     from taichi_nerfs_tpu.models.pyramid import PyramidConfig
@@ -29,7 +30,7 @@ def run_cfg(train, test, *, steps, lr, tv_w, sigma_l1, features,
     )
     tcfg = SwrTrainConfig(
         crop=crop, lr=lr, max_steps=steps, n_chunks=n_chunks,
-        tv_w=tv_w, sigma_l1=sigma_l1,
+        tv_w=tv_w, sigma_l1=sigma_l1, resample_dtype=resample_dtype,
     )
     tr = SwrTrainer(mcfg, tcfg, train.rays, train.poses, train.K,
                     train.img_wh)
@@ -66,12 +67,12 @@ def main():
 
     base = dict(steps=args.steps, lr=2e-2, tv_w=3e-3, sigma_l1=1e-5,
                 features=8)
-    # round 4: deep runs are generalization-bound (train 39.5 / eval
-    # ~29); more views is the lever to test
+    # round 5: time-to-quality — bf16 resample matmuls vs fp32
     sweeps = [
-        ("f16 tv3e-3 2x ", {"features": 16, "tv_w": 3e-3,
-                            "steps": 2 * args.steps}),
-        ("f24 tv1e-3 2x ", {"features": 24, "tv_w": 1e-3,
+        ("f16 bf16 2x   ", {"features": 16, "tv_w": 3e-3,
+                            "steps": 2 * args.steps,
+                            "resample_dtype": "bfloat16"}),
+        ("f16 fp32 2x   ", {"features": 16, "tv_w": 3e-3,
                             "steps": 2 * args.steps}),
     ]
     for name, over in sweeps:

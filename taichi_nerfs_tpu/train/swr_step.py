@@ -42,6 +42,12 @@ class SwrTrainConfig:
     # Mip-NeRF-360 distortion loss (reference --distortion_loss_w,
     # modules/distortion.py); computed inside the sweep from running sums
     distortion_w: float = 0.0
+    # slab-resample matmul operand dtype ("float32" | "bfloat16"); fp32
+    # accumulation either way.  Measured: a no-op on v5e — XLA's DEFAULT
+    # matmul precision already runs fp32 dots as bf16 multiply passes, so
+    # explicit bf16 produces bitwise-identical training metrics and no
+    # speedup (only extra converts).  Kept for experimentation
+    resample_dtype: str = "float32"
 
 
 class SwrTrainState(NamedTuple):
@@ -107,6 +113,7 @@ def make_swr_loss(
             white_bg=tcfg.white_bg,
             slab_window=slab_window,
             want_distortion=tcfg.distortion_w > 0,
+            resample_dtype=tcfg.resample_dtype,
         )
         mse = jnp.mean((out["rgb"] - gt) ** 2)
         loss = mse
