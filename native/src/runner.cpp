@@ -12,6 +12,8 @@
 #include <string>
 
 #include "ngp_model.hpp"
+#include "nn_math.hpp"
+#include "pyramid_model.hpp"
 #include "tagged_io.hpp"
 
 namespace {
@@ -52,7 +54,6 @@ int main(int argc, char** argv) {
   }
 
   try {
-    tnerf::NgpModel model(dir);
     std::vector<float> pose_v =
         tnerf::ReadTaggedFile(dir + "/pose.bin").AsFloat();
     if (pose_v.size() != 12) {
@@ -63,19 +64,33 @@ int main(int argc, char** argv) {
     std::copy(pose_v.begin(), pose_v.end(), pose.begin());
     if (orbit != 0) pose = RotateY(pose, orbit);
 
+    // model family is declared by the export (config.json "model")
+    std::string family =
+        tnerf::FlatJson(dir + "/config.json").Str("model", "ngp");
+    std::vector<float> img;
+    int w = 0, h = 0;
     auto t0 = std::chrono::steady_clock::now();
-    std::vector<float> img = model.Render(pose, threads);
+    if (family == "pyramid") {
+      tnerf::PyramidModel model(dir);
+      img = model.Render(pose, threads);
+      w = model.config().width;
+      h = model.config().height;
+    } else {
+      tnerf::NgpModel model(dir);
+      img = model.Render(pose, threads);
+      w = model.config().width;
+      h = model.config().height;
+    }
     auto ms = std::chrono::duration_cast<std::chrono::milliseconds>(
                   std::chrono::steady_clock::now() - t0)
                   .count();
-    std::fprintf(stderr, "rendered %dx%d in %lld ms (%.1f fps)\n",
-                 model.config().width, model.config().height,
+    std::fprintf(stderr, "rendered %dx%d in %lld ms (%.1f fps)\n", w, h,
                  static_cast<long long>(ms), 1000.0 / static_cast<double>(ms));
 
     if (out.size() > 4 && out.substr(out.size() - 4) == ".bmp")
-      tnerf::WriteBmp(out, img, model.config().width, model.config().height);
+      tnerf::WriteBmp(out, img, w, h);
     else
-      tnerf::WritePpm(out, img, model.config().width, model.config().height);
+      tnerf::WritePpm(out, img, w, h);
   } catch (const std::exception& e) {
     std::fprintf(stderr, "error: %s\n", e.what());
     return 1;

@@ -67,13 +67,14 @@ def main():
 
     base = dict(steps=args.steps, lr=2e-2, tv_w=3e-3, sigma_l1=1e-5,
                 features=8)
-    # round 5: time-to-quality — bf16 resample matmuls vs fp32
+    # round 6: crop scaling — step cost is slab-bound, so bigger crops
+    # amortize further (equal total rays per config)
     sweeps = [
-        ("f16 bf16 2x   ", {"features": 16, "tv_w": 3e-3,
-                            "steps": 2 * args.steps,
-                            "resample_dtype": "bfloat16"}),
-        ("f16 fp32 2x   ", {"features": 16, "tv_w": 3e-3,
-                            "steps": 2 * args.steps}),
+        ("f16 crop512   ", {"features": 16, "tv_w": 3e-3,
+                            "steps": args.steps, "crop": 512}),
+        ("f16 crop384   ", {"features": 16, "tv_w": 3e-3,
+                            "steps": int(args.steps * 16 / 9),
+                            "crop": 384}),
     ]
     for name, over in sweeps:
         cfg = {**base, **over}

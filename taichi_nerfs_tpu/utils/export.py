@@ -201,3 +201,73 @@ def export_aot_weights(
             os.path.join(out_dir, "directions.bin"),
             directions.astype(np.float32),
         )
+
+
+def export_pyramid_native(
+    params,
+    pyramid_cfg,
+    pose,
+    K,
+    img_wh,
+    out_dir: str,
+    white_bg: bool = True,
+    t_threshold: float = 1e-2,
+    grid_dtype=np.float16,
+) -> str:
+    """Native export of the dense-pyramid flagship: the *baked* grid (the
+    renderer's whole field — fp16 by default, half the file) + the rgb MLP
+    + camera, consumed by ``native/src/pyramid_model.cpp``.
+
+    The sample-path export ships the hash table and re-runs encoders on
+    device (taichi_ngp.py style); the dense path's deployment artifact is
+    simply the fused grid — trilinear sampling is the entire field eval.
+    """
+    import json
+
+    from ..models import pyramid as pyr
+
+    if pyramid_cfg.split:
+        raise NotImplementedError(
+            "native export of split-resolution grids: bake to a single "
+            "grid (sigma_res=0) for deployment"
+        )
+    if not pyramid_cfg.deferred:
+        raise NotImplementedError(
+            "the native pyramid renderer shades deferred; train with "
+            "deferred=True (the default) for deployment"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    grid = np.asarray(pyr.bake_jit(params, pyramid_cfg))
+    save_tagged_binary(
+        os.path.join(out_dir, "grid.bin"), grid.astype(grid_dtype)
+    )
+    for i in range(3):
+        w = _torch_layout(
+            np.asarray(params["rgb_mlp"][f"w{i}"], np.float32)
+        )
+        save_tagged_binary(os.path.join(out_dir, f"rgb_w{i}.bin"), w)
+    save_tagged_binary(
+        os.path.join(out_dir, "pose.bin"),
+        np.asarray(pose, np.float32).reshape(3, 4),
+    )
+    K = np.asarray(K, np.float32)
+    w_img, h_img = img_wh
+    config = {
+        "model": "pyramid",
+        "width": int(w_img),
+        "height": int(h_img),
+        "fx": float(K[0, 0]),
+        "fy": float(K[1, 1]),
+        "cx": float(K[0, 2]),
+        "cy": float(K[1, 2]),
+        "scale": float(pyramid_cfg.scale),
+        "grid_res": int(pyramid_cfg.grid_res),
+        "features": int(pyramid_cfg.features),
+        "rgb_width": int(pyramid_cfg.rgb_width),
+        "deferred": True,
+        "white_bg": bool(white_bg),
+        "t_threshold": float(t_threshold),
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=2)
+    return out_dir

@@ -27,19 +27,23 @@ from taichi_nerfs_tpu.utils.export import (
 NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 
 
-@pytest.fixture(scope="module")
-def native_lib():
-    build = os.path.join(NATIVE_DIR, "build")
-    lib = os.path.join(build, "libtnerf_c.so")
-    if not os.path.exists(lib):
+def _build_native():
+    """cmake+ninja (incremental — always run so binaries never go stale)."""
+    if not os.path.exists(os.path.join(NATIVE_DIR, "build")):
         subprocess.run(
             ["cmake", "-B", "build", "-G", "Ninja"], cwd=NATIVE_DIR,
             check=True, capture_output=True,
         )
-        subprocess.run(
-            ["ninja", "-C", "build"], cwd=NATIVE_DIR, check=True,
-            capture_output=True,
-        )
+    subprocess.run(
+        ["ninja", "-C", "build"], cwd=NATIVE_DIR, check=True,
+        capture_output=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    _build_native()
+    lib = os.path.join(NATIVE_DIR, "build", "libtnerf_c.so")
     so = ctypes.CDLL(lib)
     so.tnerf_load.restype = ctypes.c_void_p
     so.tnerf_load.argtypes = [ctypes.c_char_p]
@@ -177,3 +181,67 @@ def test_native_render_matches_jax(native_lib, exported):
     mse = float(np.mean((native_img - jax_img) ** 2))
     psnr = -10.0 * np.log10(mse + 1e-12)
     assert psnr > 30.0, f"native/jax render mismatch: psnr={psnr:.2f}"
+
+
+@pytest.fixture(scope="module")
+def runner_bin():
+    _build_native()
+    return os.path.join(NATIVE_DIR, "build", "tnerf_runner")
+
+
+def _read_ppm(path):
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"P6"
+        w, h = map(int, f.readline().split())
+        assert f.readline().strip() == b"255"
+        data = np.frombuffer(f.read(w * h * 3), np.uint8)
+    return data.reshape(h, w, 3).astype(np.float32) / 255.0
+
+
+def test_native_pyramid_render_matches_jax(runner_bin, tmp_path):
+    """Full deployment flow of the dense flagship: bake -> tagged export ->
+    C++ runner frame vs the JAX shear-warp renderer."""
+    from taichi_nerfs_tpu.data.synthetic import look_at
+    from taichi_nerfs_tpu.models import pyramid as pyr
+    from taichi_nerfs_tpu.render.swr import render_swr
+    from taichi_nerfs_tpu.utils.export import export_pyramid_native
+
+    cfg = pyr.PyramidConfig(
+        resolutions=(8, 16), features=4, rgb_width=16, scale=0.5,
+        sigma_bias=0.0, deferred=True,
+    )
+    params = pyr.init_pyramid_params(jax.random.PRNGKey(0), cfg)
+    R = cfg.grid_res
+    c = (jnp.arange(R) + 0.5) / R - 0.5
+    xx, yy, zz = jnp.meshgrid(c, c, c, indexing="ij")
+    blob = 2.0 * jnp.exp(-((jnp.sqrt(xx**2 + yy**2 + zz**2) / 0.25) ** 2))
+    params["levels"][1] = params["levels"][1].at[..., 0].add(blob)
+
+    w = h = 48
+    focal = 0.9 * w
+    K = np.array(
+        [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32
+    )
+    pose = look_at(
+        np.array([0.2, 0.3, -1.3]), np.zeros(3), np.array([0.0, 0.0, 1.0])
+    )
+    out_dir = str(tmp_path / "pyr_export")
+    export_pyramid_native(
+        params, cfg, pose, K, (w, h), out_dir, grid_dtype=np.float32
+    )
+
+    ppm = str(tmp_path / "frame.ppm")
+    res = subprocess.run(
+        [runner_bin, out_dir, ppm, "--threads", "2"],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    native_img = _read_ppm(ppm)
+
+    grid = pyr.bake(params, cfg)
+    jax_img = np.asarray(
+        render_swr(params, grid, cfg, pose, K, (w, h), n_chunks=4)["rgb"]
+    ).reshape(h, w, 3)
+    mse = float(np.mean((native_img - np.clip(jax_img, 0, 1)) ** 2))
+    psnr = -10.0 * np.log10(mse + 1e-12)
+    assert psnr > 25.0, f"native/jax pyramid mismatch: psnr={psnr:.2f}"
