@@ -54,6 +54,15 @@ def get_opts(prefix_args=None):
                              "level (512 doubles silhouette resolution "
                              "at ~1/8 the memory of a full level); 0 "
                              "disables")
+    parser.add_argument("--prog_steps", type=str, default="auto",
+                        help="pyramid model: coarse-to-fine phase "
+                             "lengths, comma-separated (one entry per "
+                             "truncated pyramid depth, finest phase "
+                             "takes the rest).  'auto' scales the "
+                             "measured-best (1500,1800)@8000 schedule "
+                             "to --max_steps; '' disables.  Measured "
+                             "(800^2 checker, 200 views): 39.4 eval "
+                             "PSNR @ 590 s vs 29.0 @ 411 s single-phase")
     parser.add_argument("--encoder_type", type=str, default="brick",
                         choices=["hash", "triplane", "brick"],
                         help="which encoder to use (brick = TPU-native "

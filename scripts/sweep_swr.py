@@ -17,7 +17,7 @@ import numpy as np
 
 def run_cfg(train, test, *, steps, lr, tv_w, sigma_l1, features,
             sigma_res=0, crop=256, n_chunks=16,
-            resample_dtype="float32"):
+            resample_dtype="float32", prog=()):
     import jax
 
     from taichi_nerfs_tpu.models.pyramid import PyramidConfig
@@ -31,6 +31,7 @@ def run_cfg(train, test, *, steps, lr, tv_w, sigma_l1, features,
     tcfg = SwrTrainConfig(
         crop=crop, lr=lr, max_steps=steps, n_chunks=n_chunks,
         tv_w=tv_w, sigma_l1=sigma_l1, resample_dtype=resample_dtype,
+        prog_steps=tuple(prog),
     )
     tr = SwrTrainer(mcfg, tcfg, train.rays, train.poses, train.K,
                     train.img_wh)
@@ -67,14 +68,15 @@ def main():
 
     base = dict(steps=args.steps, lr=2e-2, tv_w=3e-3, sigma_l1=1e-5,
                 features=8)
-    # round 6: crop scaling — step cost is slab-bound, so bigger crops
-    # amortize further (equal total rays per config)
+    # round 7: coarse-to-fine (prog_steps) vs the single-phase default at
+    # comparable wall time — coarse steps are ~4-8x cheaper, so the
+    # progressive runs buy extra optimizer steps for free
     sweeps = [
-        ("f16 crop512   ", {"features": 16, "tv_w": 3e-3,
-                            "steps": args.steps, "crop": 512}),
-        ("f16 crop384   ", {"features": 16, "tv_w": 3e-3,
-                            "steps": int(args.steps * 16 / 9),
-                            "crop": 384}),
+        ("f16 base      ", {"features": 16, "steps": 3800}),
+        ("f16 prog-5000 ", {"features": 16, "steps": 5000,
+                            "prog": (1000, 1200)}),
+        ("f16 prog-8000 ", {"features": 16, "steps": 8000,
+                            "prog": (1500, 1800)}),
     ]
     for name, over in sweeps:
         cfg = {**base, **over}

@@ -65,6 +65,19 @@ class PyramidConfig:
         return bool(self.sigma_res)
 
 
+def truncate(cfg: PyramidConfig, n_levels: int) -> PyramidConfig:
+    """Config with only the first ``n_levels`` pyramid levels.
+
+    Used by coarse-to-fine training (``SwrTrainConfig.prog_steps``): early
+    phases sweep a low-resolution grid (cheap steps), later phases grow the
+    pyramid one level at a time.  Split-resolution configs cannot truncate
+    (``sigma_res`` is pinned to the finest level).
+    """
+    assert 1 <= n_levels <= len(cfg.resolutions)
+    assert not cfg.split, "progressive training requires sigma_res=0"
+    return dataclasses.replace(cfg, resolutions=cfg.resolutions[:n_levels])
+
+
 def rgb_mlp_spec(cfg: PyramidConfig) -> MLPSpec:
     return MLPSpec(
         input_dim=16 + (cfg.features - 1),

@@ -63,6 +63,7 @@ from ..ops.warp import (
         "skip_empty",
         "warp",
         "want_distortion",
+        "inside",
     ),
 )
 def render_swr_fixed_axis(
@@ -84,6 +85,7 @@ def render_swr_fixed_axis(
     skip_empty: bool = False,
     warp: str = "matmul",
     want_distortion: bool = False,
+    inside: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Render with a statically chosen sweep axis/direction.
 
@@ -119,6 +121,16 @@ def render_swr_fixed_axis(
             (S_w = 1 - T, S_wt = depth numerator), and the cross-chunk
             pair terms close over the warped chunk sums at fold time, so
             the extra cost is one lattice map per frame.
+        inside: cubemap-face mode for cameras *inside* the grid (real
+            scenes).  This call renders the face ``(axis, sign)`` with
+            ``sign = -1 if flip else +1``: only the pixels whose ray
+            direction is dominated by that signed axis are valid (the
+            caller merges faces per-pixel, :func:`render_swr_inside`).
+            Differences from the outside sweep: frustum slope bounds are
+            the static dominance bound (|d_b/d_a| <= 1), slabs on the
+            camera's other side are masked out of the composite, and the
+            global reference plane sits between the camera and the
+            face's cube wall instead of at the cube center.
     """
     s = cfg.scale
     R = cfg.grid_res
@@ -186,10 +198,28 @@ def render_swr_fixed_axis(
         axis=-1,
     ).reshape(-1, 3)
     corner_w = corner_cam @ pose[:, :3].T  # (4, 3) world dirs
-    slope_b = corner_w[:, b_axis] / corner_w[:, axis]
-    slope_c = corner_w[:, c_axis] / corner_w[:, axis]
-    sb_lo, sb_hi = jnp.min(slope_b), jnp.max(slope_b)
-    sc_lo, sc_hi = jnp.min(slope_c), jnp.max(slope_c)
+    if inside:
+        # face pixels have |d_b/d_a| <= 1 by dominance; corner slopes are
+        # meaningless when the face boundary crosses the image (d_a -> 0)
+        sb_lo = sc_lo = jnp.float32(-1.05)
+        sb_hi = sc_hi = jnp.float32(1.05)
+        sign_face = jnp.float32(-1.0 if flip else 1.0)
+        # half-slab margin: the slab containing the camera never composites
+        margin = 0.5 * h
+
+        def _safe(x, eps=1e-5):
+            return jnp.where(
+                x >= 0, jnp.maximum(x, eps), jnp.minimum(x, -eps)
+            )
+
+    else:
+        slope_b = corner_w[:, b_axis] / corner_w[:, axis]
+        slope_c = corner_w[:, c_axis] / corner_w[:, axis]
+        sb_lo, sb_hi = jnp.min(slope_b), jnp.max(slope_b)
+        sc_lo, sc_hi = jnp.min(slope_c), jnp.max(slope_c)
+
+        def _safe(x):
+            return x
 
     def frame_at(z_ref):
         """Lattice origin/spacing covering the frustum at plane z_ref."""
@@ -226,8 +256,14 @@ def render_swr_fixed_axis(
             n_chunks, dc_slabs
         )
 
-    # global frame on the cube-center plane
-    g_b0, g_db, g_c0, g_dc = frame_at(jnp.float32(0.0))
+    # global frame: the cube-center plane outside; between the camera and
+    # the face's cube wall inside (the center plane can sit behind an
+    # inside camera)
+    if inside:
+        z_g = 0.5 * (jnp.clip(o_a, -s, s) + sign_face * s)
+    else:
+        z_g = jnp.float32(0.0)
+    g_b0, g_db, g_c0, g_dc = frame_at(z_g)
 
     lat_i = jnp.arange(nq, dtype=jnp.float32)
     # deferred shading composites the (F-1) feature channels instead of rgb
@@ -243,7 +279,20 @@ def render_swr_fixed_axis(
         else:
             acc_g, depth_g, t_g = carry
         z_slabs = inp["z"]
-        z_ref = jnp.mean(z_slabs)
+        if inside:
+            # reference the chunk frame on its *valid* (camera-side)
+            # slabs; fully invalid chunks (all masked) park it on the
+            # face's cube wall so every division stays finite
+            v_ch = (sign_face * (z_slabs - o_a) > margin).astype(
+                jnp.float32
+            )
+            z_ref = jnp.where(
+                jnp.sum(v_ch) > 0,
+                jnp.sum(z_slabs * v_ch) / jnp.maximum(jnp.sum(v_ch), 1.0),
+                o_a + sign_face * s,
+            )
+        else:
+            z_ref = jnp.mean(z_slabs)
         f_b0, f_db, f_c0, f_dc = frame_at(z_ref)
         qb = f_b0 + lat_i * f_db  # (nq,) world b coords on this frame
         qc = f_c0 + lat_i * f_dc
@@ -270,7 +319,7 @@ def render_swr_fixed_axis(
         def resample_to_lattice(x, z_k, h_src, window):
             # source index of lattice i: m(i) = (p_b + s)/h_src - 1/2
             # with p_b = o_b + (q_i - o_b)/rho
-            rho = (z_ref - o_a) / (z_k - o_a)
+            rho = _safe((z_ref - o_a) / _safe(z_k - o_a))
             start_b = (o_b + (qb[0] - o_b) / rho + s) / h_src - 0.5
             start_c = (o_c + (qc[0] - o_c) / rho + s) / h_src - 0.5
             step_b = f_db / (rho * h_src)
@@ -301,7 +350,7 @@ def render_swr_fixed_axis(
                 else:
                     # both sub-slabs in one batched matmul (each world
                     # plane has its own affine map)
-                    rho = (z_ref - o_a) / (z_s - o_a)  # (2,)
+                    rho = _safe((z_ref - o_a) / _safe(z_s - o_a))  # (2,)
                     sb = (o_b + (qb[0] - o_b) / rho + s) / h_s - 0.5
                     sc = (o_c + (qc[0] - o_c) / rho + s) / h_s - 0.5
                     stb = f_db / (rho * h_s)
@@ -314,6 +363,9 @@ def render_swr_fixed_axis(
                 dt_s = 0.5 * dt
                 a0 = 1.0 - jnp.exp(-jnp.maximum(s0, 0.0) * dt_s)
                 a1 = 1.0 - jnp.exp(-jnp.maximum(s1, 0.0) * dt_s)
+                if inside:
+                    a0 = a0 * (sign_face * (z_s[0] - o_a) > margin)
+                    a1 = a1 * (sign_face * (z_s[1] - o_a) > margin)
                 w0 = a0 * t_acc
                 w1 = a1 * t_acc * (1.0 - a0)
                 w = w0 + w1
@@ -343,6 +395,11 @@ def render_swr_fixed_axis(
                 sigma = pyr.density_from_grid(slab_q)
                 feats = slab_q[..., 1:]  # (nq, nq, F-1)
                 alpha = 1.0 - jnp.exp(-sigma * dt)
+                if inside:
+                    # slabs behind (or at) the camera never composite
+                    alpha = alpha * (
+                        sign_face * (inp_s["z"] - o_a) > margin
+                    )
                 w = alpha * t_acc
                 t_ray = (inp_s["z"] - o_a) * inv_da * jnp.sign(va)
                 depth_contrib = w * t_ray
@@ -397,7 +454,7 @@ def render_swr_fixed_axis(
 
         # fold this chunk's frame into the global frame: the ray at global
         # lattice q_g crosses the chunk plane at q_c = o + (q_g - o)*rho_cg
-        rho_cg = (z_ref - o_a) / (0.0 - o_a)
+        rho_cg = (z_ref - o_a) / _safe(z_g - o_a)
         start_b = (o_b * (1 - rho_cg) + g_b0 * rho_cg - f_b0) / f_db
         step_b = g_db * rho_cg / f_db
         start_c = (o_c * (1 - rho_cg) + g_c0 * rho_cg - f_c0) / f_dc
@@ -473,7 +530,7 @@ def render_swr_fixed_axis(
     )  # (h, w, 3)
     dir_w = jnp.einsum("ij,hwj->hwi", pose[:, :3], dir_cam)
     da = dir_w[..., axis]
-    t_hit = (0.0 - o_a) / da
+    t_hit = (z_g - o_a) / da
     pb = o_b + t_hit * dir_w[..., b_axis]
     pc = o_c + t_hit * dir_w[..., c_axis]
     li = (pb - g_b0) / g_db
@@ -534,16 +591,20 @@ def render_swr_fixed_axis(
         ]
         j_ar = jnp.arange(nq, dtype=jnp.float32)
         # gamma_j (o_c - g_c0 - j*g_dc): solve
-        #   gamma_j * da(x, y) = o_a * dc(x, y)  for y given x
+        #   gamma_j * da(x, y) = (o_a - z_g) * dc(x, y)  for y given x
+        # (the global lattice plane sits at z_g; z_g = 0 outside)
+        oa_rel = o_a - z_g
         gam = o_c - g_c0 - j_ar * g_dc  # (J,)
-        num_x = (o_a * rc[0] - gam[:, None] * ra[0]) * xs[None, :] + (
-            o_a * rc[2] - gam[:, None] * ra[2]
+        num_x = (oa_rel * rc[0] - gam[:, None] * ra[0]) * xs[None, :] + (
+            oa_rel * rc[2] - gam[:, None] * ra[2]
         )  # (J, W)
-        den_y = gam[:, None] * ra[1] - o_a * rc[1] + jnp.zeros_like(num_x)
+        den_y = (
+            gam[:, None] * ra[1] - oa_rel * rc[1] + jnp.zeros_like(num_x)
+        )
         y_j = num_x / jnp.where(jnp.abs(den_y) < 1e-12, 1e-12, den_y)
         da_j = ra[0] * xs[None, :] + ra[1] * y_j + ra[2]  # (J, W)
         db_j = rb[0] * xs[None, :] + rb[1] * y_j + rb[2]
-        posA = ((o_b - g_b0) * da_j - o_a * db_j) / (
+        posA = ((o_b - g_b0) * da_j - oa_rel * db_j) / (
             g_db * jnp.where(jnp.abs(da_j) < 1e-12, 1e-12, da_j)
         )  # (J, W): source-i position for (row j, out column u)
         posA = jnp.where(jnp.isfinite(posA), posA, -1e9)
@@ -649,6 +710,7 @@ def slab_window_bound(
     crop: int | None = None,
     lat_pad: int = 16,
     safety: float = 1.1,
+    lat_size: int = 0,
 ) -> int:
     """Static source-window width covering every slab resample.
 
@@ -656,6 +718,8 @@ def slab_window_bound(
     lat_pad))``; its max over slabs/poses (and, for training, over all
     ``crop`` x ``crop`` sub-frusta) bounds the source support.  Returns 0
     (= use the full matmul) when the bound reaches the grid resolution.
+    ``lat_size`` overrides the lattice side (must match the render call's
+    ``lat_size``); the frustum span still comes from ``crop`` pixels.
     """
     import numpy as np
 
@@ -663,7 +727,7 @@ def slab_window_bound(
     h = 2.0 * s / R
     w_img, h_img = img_wh
     out_side = crop if crop else max(img_wh)
-    nq = out_side + lat_pad
+    nq = lat_size if lat_size else out_side + lat_pad
     denom = (nq - 1 - lat_pad) * h
     n_grid = 17
     if crop:
@@ -720,3 +784,93 @@ def render_swr(
         params, grid, cfg, pose, jnp.asarray(K, jnp.float32), tuple(img_wh),
         axis, flip, **kw,
     )
+
+
+def pixel_faces(pose, K, img_wh: Tuple[int, int]):
+    """Host helper: per-pixel cubemap face of each ray direction.
+
+    Returns ``(dom, pos, faces)``: ``dom[h, w]`` the dominant world axis,
+    ``pos[h, w]`` True where that component is positive, and ``faces`` the
+    sorted list of distinct ``(axis, positive)`` pairs present.
+    """
+    import numpy as np
+
+    w, h = img_wh
+    K = np.asarray(K, np.float64)
+    pose = np.asarray(pose, np.float64).reshape(3, 4)
+    uu, vv = np.meshgrid(
+        np.arange(w, dtype=np.float64),
+        np.arange(h, dtype=np.float64),
+        indexing="xy",
+    )
+    cam = np.stack(
+        [
+            (uu - K[0, 2] + 0.5) / K[0, 0],
+            (vv - K[1, 2] + 0.5) / K[1, 1],
+            np.ones_like(uu),
+        ],
+        axis=-1,
+    )
+    dir_w = cam @ pose[:, :3].T  # (h, w, 3)
+    dom = np.argmax(np.abs(dir_w), axis=-1)
+    d_dom = np.take_along_axis(dir_w, dom[..., None], axis=-1)[..., 0]
+    pos = d_dom > 0
+    faces = sorted(
+        {(int(a), bool(p)) for a, p in zip(dom.ravel(), pos.ravel())}
+    )
+    return dom, pos, faces
+
+
+def render_swr_inside(
+    params,
+    grid,
+    cfg: pyr.PyramidConfig,
+    pose,
+    K,
+    img_wh: Tuple[int, int],
+    lat_cap: int | None = None,
+    **kw,
+) -> Dict[str, jnp.ndarray]:
+    """Render a camera *inside* the grid by cubemap-face decomposition.
+
+    The image's rays are partitioned by dominant signed axis (up to 6
+    faces; typically 1-3 for a normal FOV); each face runs one
+    ``inside=True`` sweep outward from the camera, and the face images
+    merge per-pixel.  This is the dense path's answer to the reference's
+    inside-the-scene COLMAP rigs (360_v2 etc.), which the outside-only
+    sweep (:func:`render_swr`) rejects.
+    """
+    import numpy as np
+
+    pose = jnp.asarray(pose, jnp.float32)
+    K_j = jnp.asarray(K, jnp.float32)
+    w_img, h_img = img_wh
+    dom, pos, faces = pixel_faces(pose, K, img_wh)
+    kw.pop("dist_min", None)
+    lat_pad = kw.get("lat_pad", 16)
+    if lat_cap and max(img_wh) + lat_pad > lat_cap:
+        kw["lat_size"] = lat_cap
+    out = None
+    for a, p in faces:
+        r = render_swr_fixed_axis(
+            params, grid, cfg, pose, K_j, tuple(img_wh),
+            a, not p, inside=True, **kw,
+        )
+        mask = jnp.asarray(
+            ((dom == a) & (pos == p)).reshape(-1), jnp.bool_
+        )
+        if out is None:
+            out = {
+                k: jnp.where(
+                    mask[:, None] if v.ndim == 2 else mask, v, 0.0
+                )
+                for k, v in r.items()
+            }
+        else:
+            out = {
+                k: jnp.where(
+                    mask[:, None] if v.ndim == 2 else mask, v, out[k]
+                )
+                for k, v in r.items()
+            }
+    return out

@@ -48,6 +48,14 @@ class SwrTrainConfig:
     # explicit bf16 produces bitwise-identical training metrics and no
     # speedup (only extra converts).  Kept for experimentation
     resample_dtype: str = "float32"
+    # coarse-to-fine (DVGO/Plenoxels-style): prog_steps[i] steps are spent
+    # with the pyramid truncated to its first
+    # ``len(resolutions) - len(prog_steps) + i`` levels (the train lattice
+    # is capped near the active grid resolution, so coarse steps are
+    # ~4-8x cheaper); the remaining steps run the full pyramid.  Params and
+    # adam moments of shared levels carry across phase boundaries
+    # (``grow_swr_state``).  () = single-phase training
+    prog_steps: Tuple[int, ...] = ()
 
 
 class SwrTrainState(NamedTuple):
@@ -72,6 +80,49 @@ def create_swr_state(
     return SwrTrainState(params=params, opt_state=opt_state, rng=k2)
 
 
+def _grow_like_params(old, new):
+    """Carry a params-structured pytree across a pyramid growth step.
+
+    ``old`` comes from a truncated config, ``new`` from the grown one
+    (freshly initialized); shared levels and every non-level entry keep the
+    old values, newly added levels keep their fresh initialization."""
+    out = dict(new)
+    n_shared = len(old["levels"])
+    out["levels"] = list(old["levels"]) + list(new["levels"][n_shared:])
+    for k in old:
+        if k != "levels":
+            out[k] = old[k]
+    return out
+
+
+def grow_swr_state(
+    state: SwrTrainState,
+    new_mcfg: pyr.PyramidConfig,
+    tcfg: SwrTrainConfig,
+    key: jax.Array,
+) -> SwrTrainState:
+    """Grow a training state to a deeper pyramid config.
+
+    New fine levels get their standard init and zero adam moments; shared
+    levels and the rgb MLP keep both params and moments; schedule counts
+    carry (one cosine schedule spans all phases)."""
+    fresh_params = pyr.init_pyramid_params(key, new_mcfg)
+    params = _grow_like_params(state.params, fresh_params)
+    fresh_opt = make_optimizer(tcfg).init(params)
+    grown = []
+    for o, n in zip(state.opt_state, fresh_opt):
+        if hasattr(o, "mu"):  # ScaleByAdamState
+            n = n._replace(
+                count=o.count,
+                mu=_grow_like_params(o.mu, n.mu),
+                nu=_grow_like_params(o.nu, n.nu),
+            )
+        elif hasattr(o, "count"):  # ScaleByScheduleState
+            n = n._replace(count=o.count)
+        grown.append(n)
+    return SwrTrainState(params, tuple(grown), state.rng)
+
+
 def make_swr_loss(
     gt_image: jnp.ndarray,  # (H, W, 3)
     pose: jnp.ndarray,  # (3, 4)
@@ -83,10 +134,17 @@ def make_swr_loss(
     axis: int,
     flip: bool,
     slab_window: int = 0,
+    lat_size: int = 0,
+    inside: bool = False,
 ):
     """Build ``loss_fn(params) -> (loss, mse)`` for one training crop.
 
     Shared by the single-chip step and the multi-chip (shard_map) step.
+    ``lat_size`` caps the intermediate lattice (coarse-to-fine phases
+    render through a lattice near the active grid resolution).
+    ``inside`` trains a cubemap face of an inside-the-grid camera
+    (render/swr.py): the sweep renders the face ``(axis, sign)`` and the
+    MSE is masked to the crop pixels whose rays that face owns.
     """
     c = tcfg.crop
     x0 = crop_xy[0]
@@ -109,16 +167,48 @@ def make_swr_loss(
             (c, c),
             axis,
             flip,
-            n_chunks=tcfg.n_chunks,
+            n_chunks=min(tcfg.n_chunks, mcfg.grid_res),
             white_bg=tcfg.white_bg,
             slab_window=slab_window,
+            lat_size=lat_size,
             want_distortion=tcfg.distortion_w > 0,
             resample_dtype=tcfg.resample_dtype,
+            inside=inside,
         )
-        mse = jnp.mean((out["rgb"] - gt) ** 2)
+        err = (out["rgb"] - gt) ** 2
+        if inside:
+            # mask to the face's pixels (same dirs as the renderer's
+            # final warp, crop intrinsics)
+            ui = jnp.arange(c, dtype=jnp.float32)
+            uu, vv = jnp.meshgrid(ui, ui, indexing="xy")
+            d_cam = jnp.stack(
+                [
+                    (uu - K_crop[0, 2] + 0.5) / K_crop[0, 0],
+                    (vv - K_crop[1, 2] + 0.5) / K_crop[1, 1],
+                    jnp.ones_like(uu),
+                ],
+                axis=-1,
+            )
+            d_w = jnp.einsum("ij,hwj->hwi", pose[:, :3], d_cam)
+            dom = jnp.argmax(jnp.abs(d_w), axis=-1)
+            sign_ok = (d_w[..., axis] > 0) == (not flip)
+            mask = ((dom == axis) & sign_ok).reshape(c * c).astype(
+                jnp.float32
+            )
+            mse = jnp.sum(err * mask[:, None]) / jnp.maximum(
+                3.0 * jnp.sum(mask), 1.0
+            )
+        else:
+            mse = jnp.mean(err)
         loss = mse
         if tcfg.distortion_w > 0:
-            loss = loss + tcfg.distortion_w * jnp.mean(out["distortion"])
+            if inside:
+                dist = jnp.sum(out["distortion"] * mask) / jnp.maximum(
+                    jnp.sum(mask), 1.0
+                )
+            else:
+                dist = jnp.mean(out["distortion"])
+            loss = loss + tcfg.distortion_w * dist
         if tcfg.sigma_l1 > 0:
             sigma = grid[0] if mcfg.split else grid[..., 0]
             loss = loss + tcfg.sigma_l1 * jnp.mean(sigma)
@@ -153,7 +243,8 @@ def make_swr_loss(
 
 @partial(
     jax.jit,
-    static_argnames=("mcfg", "tcfg", "axis", "flip", "slab_window"),
+    static_argnames=("mcfg", "tcfg", "axis", "flip", "slab_window",
+                     "lat_size", "inside"),
     donate_argnames=("state",),
 )
 def swr_train_step(
@@ -167,11 +258,13 @@ def swr_train_step(
     axis: int,
     flip: bool,
     slab_window: int = 0,
+    lat_size: int = 0,
+    inside: bool = False,
 ) -> Tuple[SwrTrainState, Dict[str, jnp.ndarray]]:
     rng, k_tv = jax.random.split(state.rng)
     loss_fn = make_swr_loss(
         gt_image, pose, K, crop_xy, k_tv, mcfg, tcfg, axis, flip,
-        slab_window,
+        slab_window, lat_size, inside,
     )
     (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
@@ -206,39 +299,118 @@ class SwrTrainer:
         self.poses = jnp.asarray(self.poses_np)
         self.K = jnp.asarray(K, jnp.float32)
         self.img_wh = img_wh
-        self.state = create_swr_state(jax.random.PRNGKey(seed), mcfg, tcfg)
         self._host_rng = np.random.RandomState(seed)
-        # static sweep parameters per training pose
+        # static sweep parameters per training pose; poses inside the
+        # grid train through the cubemap-face sweep (render/swr.py
+        # `inside`) with a per-crop face pick + face-masked loss
+        from ..render.swr import pixel_faces
+
         self._axis_flip = []
+        self._inside = []
+        self._face_map = []  # subsampled (dom, pos) for inside poses
+        self._face_stride = max(1, min(img_wh) // 128)
         for p in self.poses_np:
             a = int(np.argmax(np.abs(p[:, 2])))
+            ins = abs(float(p[a, 3])) <= mcfg.scale * 1.05
             self._axis_flip.append((a, bool(p[a, 3] > 0)))
-        # static slab-resample window over all poses/crops (0 = full)
+            self._inside.append(ins)
+            if ins:
+                dom, pos, _ = pixel_faces(p, K, img_wh)
+                st = self._face_stride
+                self._face_map.append(
+                    (dom[::st, ::st].astype(np.int8), pos[::st, ::st])
+                )
+            else:
+                self._face_map.append(None)
+        # coarse-to-fine phases: [(truncated mcfg, end_step), ...]; the
+        # last phase is the full config and absorbs the remaining steps
+        self._phases = []
+        if tcfg.prog_steps:
+            n_lvl = len(mcfg.resolutions)
+            n_pro = len(tcfg.prog_steps)
+            assert 0 < n_pro < n_lvl, "prog_steps longer than the pyramid"
+            end = 0
+            for i, st in enumerate(tcfg.prog_steps):
+                end += st
+                self._phases.append(
+                    (pyr.truncate(mcfg, n_lvl - n_pro + i), end)
+                )
+        self._phases.append((mcfg, tcfg.max_steps))
+        self.step = 0
+        self._activate_phase(0, jax.random.PRNGKey(seed))
+
+    def _activate_phase(self, idx: int, key: jax.Array):
         from ..render.swr import slab_window_bound
 
-        self.slab_window = slab_window_bound(
-            self.poses_np, np.asarray(K), img_wh, mcfg, crop=tcfg.crop
+        pm = self._phases[idx][0]
+        self._phase_idx = idx
+        self.cur_mcfg = pm
+        # the train lattice only needs to resolve the active grid: cap it
+        # near 1.25 R (as eval does) while the pyramid is coarse
+        lat_pad = 16
+        cap = int(1.25 * pm.grid_res) + lat_pad
+        self.lat_size = cap if cap < self.tcfg.crop + lat_pad else 0
+        outside = [
+            p for p, ins in zip(self.poses_np, self._inside) if not ins
+        ]
+        self.slab_window = (
+            slab_window_bound(
+                np.stack(outside), np.asarray(self.K), self.img_wh, pm,
+                crop=self.tcfg.crop, lat_size=self.lat_size,
+            )
+            if outside
+            else 0  # inside sweeps always use the full matmul
         )
-        self.step = 0
+        self._grid_cache = (None, None)
+        if idx == 0:
+            self.state = create_swr_state(key, pm, self.tcfg)
+        else:
+            self.state = grow_swr_state(self.state, pm, self.tcfg, key)
 
     def run_step(self):
+        while (
+            self._phase_idx + 1 < len(self._phases)
+            and self.step >= self._phases[self._phase_idx][1]
+        ):
+            self._activate_phase(
+                self._phase_idx + 1,
+                jax.random.fold_in(
+                    jax.random.PRNGKey(23), self._phase_idx + 1
+                ),
+            )
         w, h = self.img_wh
         c = self.tcfg.crop
         i = self._host_rng.randint(len(self.poses_np))
         x0 = self._host_rng.randint(max(w - c, 0) + 1)
         y0 = self._host_rng.randint(max(h - c, 0) + 1)
-        axis, flip = self._axis_flip[i]
+        inside = self._inside[i]
+        if inside:
+            # majority face over the crop (subsampled face map); pixels
+            # of other faces are masked out of the loss
+            dom, pos = self._face_map[i]
+            st = self._face_stride
+            sd = dom[y0 // st : (y0 + c) // st + 1,
+                     x0 // st : (x0 + c) // st + 1]
+            sp = pos[y0 // st : (y0 + c) // st + 1,
+                     x0 // st : (x0 + c) // st + 1]
+            ids = (sd.astype(np.int64) * 2 + sp).ravel()
+            face = int(np.bincount(ids, minlength=6).argmax())
+            axis, flip = face // 2, not bool(face % 2)
+        else:
+            axis, flip = self._axis_flip[i]
         self.state, metrics = swr_train_step(
             self.state,
             self.images[i],
             self.poses[i],
             self.K,
             jnp.asarray([x0, y0], jnp.int32),
-            self.mcfg,
+            self.cur_mcfg,
             self.tcfg,
             axis,
             flip,
-            slab_window=self.slab_window,
+            slab_window=0 if inside else self.slab_window,
+            lat_size=self.lat_size,
+            inside=inside,
         )
         self.step += 1
         return metrics
@@ -262,25 +434,32 @@ class SwrTrainer:
         return m
 
     def render(self, pose, K=None, img_wh=None, lat_cap="auto"):
-        from ..render.swr import render_swr
+        from ..render.swr import render_swr, render_swr_inside
 
         # bake once per training step, not once per rendered view
         if getattr(self, "_grid_cache", (None, None))[0] != self.step:
             self._grid_cache = (
                 self.step,
-                pyr.bake_jit(self.state.params, self.mcfg),
+                pyr.bake_jit(self.state.params, self.cur_mcfg),
             )
         grid = self._grid_cache[1]
         if lat_cap == "auto":
-            lat_cap = int(1.25 * self.mcfg.grid_res) + 16
-        return render_swr(
+            lat_cap = int(1.25 * self.cur_mcfg.grid_res) + 16
+        pose_np = np.asarray(pose, np.float32).reshape(3, 4)
+        a = int(np.argmax(np.abs(pose_np[:, 2])))
+        fn = (
+            render_swr_inside
+            if abs(float(pose_np[a, 3])) <= self.cur_mcfg.scale * 1.05
+            else render_swr
+        )
+        return fn(
             self.state.params,
             grid,
-            self.mcfg,
+            self.cur_mcfg,
             pose,
             self.K if K is None else K,
             img_wh or self.img_wh,
-            n_chunks=self.tcfg.n_chunks,
+            n_chunks=min(self.tcfg.n_chunks, self.cur_mcfg.grid_res),
             white_bg=self.tcfg.white_bg,
             lat_cap=lat_cap,
             skip_empty=True,

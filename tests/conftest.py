@@ -8,7 +8,11 @@ on a virtual 8-device CPU mesh (``--xla_force_host_platform_device_count``)
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force, don't setdefault: the interactive shell exports
+# JAX_PLATFORMS=axon (the tunneled TPU), and a pytest run that silently
+# lands on the tunnel serializes every test through one remote chip —
+# and wedges if anything else holds the tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -406,3 +406,114 @@ def test_swr_distortion_matches_pairwise_oracle(setup):
     mean_rel = abs(got.mean() - want.mean()) / max(abs(want.mean()), 1e-9)
     assert rms < 0.05, f"distortion mismatch: rms={rms:.4f}"
     assert mean_rel < 0.02, f"distortion mean off: {mean_rel:.4f}"
+
+
+def _oracle_inside(grid, params, cfg, pose, K, wh):
+    """Per-ray oracle for inside cameras: every pixel marches the slab
+    planes of ITS dominant signed axis, camera-side slabs only (matching
+    the face-split renderer's half-slab margin)."""
+    s, R = cfg.scale, cfg.grid_res
+    h = 2.0 * s / R
+    w_img, h_img = wh
+    o = pose[:, 3]
+    uu, vv = np.meshgrid(np.arange(w_img), np.arange(h_img), indexing="xy")
+    dc = np.stack(
+        [
+            (uu.ravel() - K[0, 2] + 0.5) / K[0, 0],
+            (vv.ravel() - K[1, 2] + 0.5) / K[1, 1],
+            np.ones(w_img * h_img),
+        ],
+        axis=1,
+    )
+    d = dc @ pose[:, :3].T
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    n = d.shape[0]
+    dom = np.argmax(np.abs(d), axis=1)
+    denc = _np_sh16((d + 1.0) / 2.0)
+    zs0 = -s + (np.arange(R) + 0.5) * h
+    rgb = np.zeros((n, 3))
+    T_out = np.ones(n)
+    for a in range(3):
+        for sign in (-1.0, 1.0):
+            sel = (dom == a) & (np.sign(d[:, a]) == sign)
+            if not sel.any():
+                continue
+            dsel = d[sel]
+            zs = zs0 if sign > 0 else zs0[::-1]
+            T = np.ones(sel.sum())
+            acc = np.zeros((sel.sum(), 3))
+            dt = h / np.abs(dsel[:, a])
+            for z in zs:
+                if sign * (z - o[a]) <= 0.5 * h:
+                    continue  # behind the camera / camera slab
+                t = (z - o[a]) / dsel[:, a]
+                p = o[None, :] + t[:, None] * dsel
+                g = _trilinear_vec(grid, p, s, h)
+                sigma = np.maximum(g[:, 0], 0.0)
+                c = _np_mlp(
+                    params["rgb_mlp"],
+                    np.concatenate([denc[sel], g[:, 1:]], axis=1),
+                )
+                alpha = 1.0 - np.exp(-sigma * dt)
+                acc += (alpha * T)[:, None] * c
+                T *= 1.0 - alpha
+            rgb[sel] = acc
+            T_out[sel] = T
+    return rgb + T_out[:, None]  # white bg
+
+
+@pytest.mark.parametrize(
+    "eye,target",
+    [
+        ((0.1, 0.05, -0.2), (0.0, 0.0, 0.3)),  # inside, one face
+        ((0.3, 0.25, 0.2), (-0.4, -0.4, -0.3)),  # inside, oblique
+        ((0.0, 0.0, 0.0), (1.0, 0.4, 0.45)),  # dead center, multi-face
+    ],
+)
+def test_swr_inside_matches_oracle(setup, eye, target):
+    from taichi_nerfs_tpu.render.swr import render_swr_inside
+
+    cfg, params, grid = setup
+    w = h = 32
+    focal = 0.7 * w  # wide FOV: more face mixing
+    K = np.array(
+        [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32
+    )
+    pose = look_at(
+        np.asarray(eye, np.float64),
+        np.asarray(target, np.float64),
+        np.array([0.0, 0.0, 1.0]),
+    ).astype(np.float64)
+    out = render_swr_inside(
+        params, grid, cfg, pose, K, (w, h), n_chunks=8
+    )
+    got = np.asarray(out["rgb"])
+    want = _oracle_inside(
+        np.asarray(grid, np.float64), params, cfg, pose, K, (w, h)
+    )
+    assert np.isfinite(got).all()
+    mse = float(np.mean((got - want) ** 2))
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 24.0, f"inside swr/oracle mismatch: psnr={psnr:.2f}"
+
+
+def test_swr_inside_outside_consistent(setup):
+    """An outside camera rendered through the inside (face-split) path
+    agrees with the standard outside sweep."""
+    from taichi_nerfs_tpu.render.swr import render_swr_inside
+
+    cfg, params, grid = setup
+    w = h = 24
+    K = np.array(
+        [[0.9 * w, 0, w / 2], [0, 0.9 * w, h / 2], [0, 0, 1]], np.float32
+    )
+    pose = look_at(
+        np.array([0.1, 0.2, -1.3]), np.zeros(3), np.array([0.0, 0.0, 1.0])
+    ).astype(np.float64)
+    a = render_swr(params, grid, cfg, pose, K, (w, h), n_chunks=8)
+    b = render_swr_inside(params, grid, cfg, pose, K, (w, h), n_chunks=8)
+    mse = float(
+        np.mean((np.asarray(a["rgb"]) - np.asarray(b["rgb"])) ** 2)
+    )
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 30.0, f"inside-path regression on outside camera: {psnr}"

@@ -44,6 +44,41 @@ def test_swr_training_improves():
     assert psnr > 14, f"render far from gt: {psnr:.2f}"
 
 
+def test_swr_progressive_training():
+    """Coarse-to-fine (prog_steps): phases advance, shared params/adam
+    moments carry across growth, and training still learns."""
+    scene = SyntheticSphereDataset(n_images=4, img_wh=(32, 32))
+    mcfg = PyramidConfig(
+        resolutions=(8, 16, 32), features=4, rgb_width=16, scale=0.5
+    )
+    tcfg = SwrTrainConfig(
+        crop=32, lr=5e-2, max_steps=40, n_chunks=4,
+        sigma_l1=0.0, prog_steps=(8, 8),
+    )
+    trainer = SwrTrainer(
+        mcfg, tcfg, scene.rays, scene.poses, scene.K, scene.img_wh
+    )
+    assert len(trainer.state.params["levels"]) == 1
+    first = None
+    m = None
+    seen_levels = set()
+    for _ in range(40):
+        m = trainer.run_step()
+        seen_levels.add(len(trainer.state.params["levels"]))
+        if first is None:
+            first = float(jax.device_get(m["loss"]))
+    assert seen_levels == {1, 2, 3}
+    # adam count carried: one schedule spans all phases
+    assert int(trainer.state.opt_state[0].count) == 40
+    last_psnr = float(jax.device_get(m["psnr"]))
+    first_psnr = -10 * np.log10(first)
+    assert last_psnr > first_psnr + 4, (
+        f"no learning: {first_psnr:.2f} -> {last_psnr:.2f}"
+    )
+    out = trainer.render(scene.poses[0])
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
 def test_swr_training_with_distortion_loss():
     """--distortion_loss_w wiring: the step runs, the loss stays finite,
     and training still learns with the regularizer on."""
@@ -67,3 +102,46 @@ def test_swr_training_with_distortion_loss():
     last = float(jax.device_get(m["loss"]))
     assert np.isfinite(last)
     assert last < first, f"no learning with distortion on: {first} -> {last}"
+
+
+def test_swr_training_inside_cameras():
+    """Cameras inside the grid train through the cubemap-face sweep with
+    a face-masked loss; the run learns and renders finitely."""
+    from taichi_nerfs_tpu.data.synthetic import look_at, render_gt_image
+
+    scene = SyntheticSphereDataset(n_images=1, img_wh=(32, 32))
+    # rebuild the rig with cameras *inside* the [-s, s]^3 cube pointing
+    # outward at the sphere surface (scale 0.5, sphere radius ~0.3)
+    rng = np.random.RandomState(3)
+    poses, rays = [], []
+    for k in range(6):
+        th = 2 * np.pi * k / 6
+        eye = 0.12 * np.array([np.cos(th), np.sin(th), 0.3 * rng.randn()])
+        tgt = 0.45 * np.array([np.cos(th), np.sin(th), 0.0])
+        c2w = look_at(eye, tgt, np.array([0.0, 0.0, 1.0]))
+        poses.append(c2w)
+        rays.append(render_gt_image(c2w, scene.K, 32, 32, n_steps=128))
+    scene.poses = np.stack(poses).astype(np.float32)
+    scene.rays = np.stack(rays)
+
+    mcfg = PyramidConfig(
+        resolutions=(8, 16), features=4, rgb_width=16, scale=0.5
+    )
+    tcfg = SwrTrainConfig(
+        crop=32, lr=5e-2, max_steps=30, n_chunks=4, sigma_l1=0.0
+    )
+    trainer = SwrTrainer(
+        mcfg, tcfg, scene.rays, scene.poses, scene.K, scene.img_wh
+    )
+    assert all(trainer._inside)
+    first = None
+    m = None
+    for _ in range(30):
+        m = trainer.run_step()
+        if first is None:
+            first = float(jax.device_get(m["loss"]))
+    last = float(jax.device_get(m["loss"]))
+    assert np.isfinite(last)
+    assert last < first, f"no learning inside: {first} -> {last}"
+    out = trainer.render(scene.poses[0])
+    assert np.isfinite(np.asarray(out["rgb"])).all()
