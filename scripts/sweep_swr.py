@@ -17,7 +17,8 @@ import numpy as np
 
 def run_cfg(train, test, *, steps, lr, tv_w, sigma_l1, features,
             sigma_res=0, crop=256, n_chunks=16,
-            resample_dtype="float32", prog=()):
+            resample_dtype="float32", prog=(), distortion_w=0.0,
+            near=0.0):
     import jax
 
     from taichi_nerfs_tpu.models.pyramid import PyramidConfig
@@ -31,7 +32,7 @@ def run_cfg(train, test, *, steps, lr, tv_w, sigma_l1, features,
     tcfg = SwrTrainConfig(
         crop=crop, lr=lr, max_steps=steps, n_chunks=n_chunks,
         tv_w=tv_w, sigma_l1=sigma_l1, resample_dtype=resample_dtype,
-        prog_steps=tuple(prog),
+        prog_steps=tuple(prog), distortion_w=distortion_w, near=near,
     )
     tr = SwrTrainer(mcfg, tcfg, train.rays, train.poses, train.K,
                     train.img_wh)
@@ -53,16 +54,18 @@ def main():
     ap.add_argument("--img", type=int, default=800)
     ap.add_argument("--n_images", type=int, default=100)
     ap.add_argument("--steps", type=int, default=1900)
+    ap.add_argument("--variant", type=str, default="checker",
+                    choices=["sphere", "checker", "shell"])
     args = ap.parse_args()
 
     from taichi_nerfs_tpu.data.synthetic import SyntheticSphereDataset
 
     train = SyntheticSphereDataset(
         n_images=args.n_images, img_wh=(args.img, args.img),
-        variant="checker", n_steps=512,
+        variant=args.variant, n_steps=512,
     )
     test = SyntheticSphereDataset(
-        n_images=4, img_wh=(args.img, args.img), variant="checker",
+        n_images=4, img_wh=(args.img, args.img), variant=args.variant,
         n_steps=512, split="test",
     )
 
@@ -71,12 +74,14 @@ def main():
     # round 7: coarse-to-fine (prog_steps) vs the single-phase default at
     # comparable wall time — coarse steps are ~4-8x cheaper, so the
     # progressive runs buy extra optimizer steps for free
+    # round 8: inside-camera (shell) quality + confirmed prog landmarks
+    # (base 29.02@411s; prog 5000: 35.21@604s; 8000: 39.37@590s; 12000:
+    # 44.36@1062s — beats the 43.77@1274s single-phase record)
     sweeps = [
-        ("f16 base      ", {"features": 16, "steps": 3800}),
-        ("f16 prog-5000 ", {"features": 16, "steps": 5000,
-                            "prog": (1000, 1200)}),
-        ("f16 prog-8000 ", {"features": 16, "steps": 8000,
-                            "prog": (1500, 1800)}),
+        ("f16 dist1e-2 near.1", {"features": 16, "steps": 3000,
+                                 "distortion_w": 1e-2, "near": 0.1}),
+        ("f16 dist2e-3 near.1", {"features": 16, "steps": 3000,
+                                 "distortion_w": 2e-3, "near": 0.1}),
     ]
     for name, over in sweeps:
         cfg = {**base, **over}

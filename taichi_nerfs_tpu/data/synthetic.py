@@ -65,9 +65,21 @@ def checker_albedo(xyz, xp=np):
     return xp.stack([r, g, b], axis=-1)
 
 
+def shell_density(xyz, r_mid: float = 0.39, half: float = 0.05, xp=np):
+    """Hollow spherical shell — the inside-camera test scene (cameras sit
+    in the empty core and look outward, the dense path's cubemap-face
+    sweep regime)."""
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    bump = 0.02 * xp.sin(17.0 * x) * xp.sin(19.0 * y) * xp.sin(23.0 * z)
+    r = xp.sqrt(x * x + y * y + z * z)
+    arg = xp.minimum(80.0 * (xp.abs(r - r_mid) - (half + bump)), 80.0)
+    return 40.0 / (1.0 + xp.exp(arg))
+
+
 _VARIANTS = {
     "sphere": (sphere_density, sphere_albedo),
     "checker": (checker_density, checker_albedo),
+    "shell": (shell_density, checker_albedo),
 }
 
 
@@ -219,7 +231,14 @@ class SyntheticSphereDataset(BaseDataset):
             render_gt_image_jax if gt_backend == "jax" else render_gt_image
         )
 
-        key = f"v1|{split}|{n_images}|{w}x{h}|{cam_radius}|{variant}|{n_steps}"
+        # shell rigs put the camera in the hollow core looking outward
+        inside_rig = variant == "shell"
+        if inside_rig and cam_radius >= 0.25:
+            cam_radius = 0.15
+        key = (
+            f"v1|{split}|{n_images}|{w}x{h}|{cam_radius}|{variant}|"
+            f"{n_steps}"
+        )
         cache = os.path.join(
             cache_dir, hashlib.sha1(key.encode()).hexdigest()[:16] + ".npz"
         )
@@ -241,7 +260,8 @@ class SyntheticSphereDataset(BaseDataset):
                     np.sin(phi),
                 ]
             )
-            c2w = look_at(eye, np.zeros(3), np.array([0.0, 0.0, 1.0]))
+            target = 4.0 * eye if inside_rig else np.zeros(3)
+            c2w = look_at(eye, target, np.array([0.0, 0.0, 1.0]))
             poses.append(c2w)
             rays.append(
                 render(c2w, self.K, w, h, n_steps=n_steps, variant=variant)

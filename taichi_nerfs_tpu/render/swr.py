@@ -64,6 +64,7 @@ from ..ops.warp import (
         "warp",
         "want_distortion",
         "inside",
+        "near",
     ),
 )
 def render_swr_fixed_axis(
@@ -86,6 +87,8 @@ def render_swr_fixed_axis(
     warp: str = "matmul",
     want_distortion: bool = False,
     inside: bool = False,
+    slope_bounds: jnp.ndarray | None = None,
+    near: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Render with a statically chosen sweep axis/direction.
 
@@ -199,19 +202,47 @@ def render_swr_fixed_axis(
     ).reshape(-1, 3)
     corner_w = corner_cam @ pose[:, :3].T  # (4, 3) world dirs
     if inside:
-        # face pixels have |d_b/d_a| <= 1 by dominance; corner slopes are
-        # meaningless when the face boundary crosses the image (d_a -> 0)
-        sb_lo = sc_lo = jnp.float32(-1.05)
-        sb_hi = sc_hi = jnp.float32(1.05)
         sign_face = jnp.float32(-1.0 if flip else 1.0)
-        # half-slab margin: the slab containing the camera never composites
-        margin = 0.5 * h
+        # near margin along the sweep axis: at least the camera's own
+        # slab; larger values (``near``, world units) suppress the
+        # near-camera billboard failure mode — the first slabs' voxels
+        # cover huge solid angles, so without a margin the optimizer
+        # paints the view onto them instead of forming geometry
+        margin = max(0.5 * h, near)
 
         def _safe(x, eps=1e-5):
             return jnp.where(
                 x >= 0, jnp.maximum(x, eps), jnp.minimum(x, -eps)
             )
 
+        # slope bounds: when every corner's d_axis has the face's sign,
+        # d_axis (affine in pixel coords) is sign-constant over the whole
+        # view, each slope d_b/d_a is a Mobius function with nonvanishing
+        # denominator — monotone along every line, so the 4 corner values
+        # bound it (clipped to the dominance cone |slope| <= 1: face
+        # pixels can never exceed it, so clipping only tightens the
+        # frame).  Otherwise (face boundary crosses the view) fall back
+        # to the full cone.  A cone-wide lattice blurs narrow crops
+        # (measured: a 256-crop resolved by ~40 lattice cells), hence the
+        # traced tight path for training crops
+        if slope_bounds is not None:
+            # caller-supplied tight bounds (render_swr_inside computes
+            # them per face from the actual pixel dirs)
+            sb_lo, sb_hi = slope_bounds[0, 0], slope_bounds[0, 1]
+            sc_lo, sc_hi = slope_bounds[1, 0], slope_bounds[1, 1]
+        else:
+            d_a_c = corner_w[:, axis]
+            one_face = jnp.all(sign_face * d_a_c > 1e-6)
+            sb_c = jnp.clip(
+                corner_w[:, b_axis] / _safe(d_a_c), -1.05, 1.05
+            )
+            sc_c = jnp.clip(
+                corner_w[:, c_axis] / _safe(d_a_c), -1.05, 1.05
+            )
+            sb_lo = jnp.where(one_face, jnp.min(sb_c), -1.05)
+            sb_hi = jnp.where(one_face, jnp.max(sb_c), 1.05)
+            sc_lo = jnp.where(one_face, jnp.min(sc_c), -1.05)
+            sc_hi = jnp.where(one_face, jnp.max(sc_c), 1.05)
     else:
         slope_b = corner_w[:, b_axis] / corner_w[:, axis]
         slope_c = corner_w[:, c_axis] / corner_w[:, axis]
@@ -818,7 +849,7 @@ def pixel_faces(pose, K, img_wh: Tuple[int, int]):
     faces = sorted(
         {(int(a), bool(p)) for a, p in zip(dom.ravel(), pos.ravel())}
     )
-    return dom, pos, faces
+    return dom, pos, faces, dir_w
 
 
 def render_swr_inside(
@@ -845,16 +876,32 @@ def render_swr_inside(
     pose = jnp.asarray(pose, jnp.float32)
     K_j = jnp.asarray(K, jnp.float32)
     w_img, h_img = img_wh
-    dom, pos, faces = pixel_faces(pose, K, img_wh)
+    dom, pos, faces, dir_w = pixel_faces(pose, K, img_wh)
     kw.pop("dist_min", None)
     lat_pad = kw.get("lat_pad", 16)
     if lat_cap and max(img_wh) + lat_pad > lat_cap:
         kw["lat_size"] = lat_cap
     out = None
     for a, p in faces:
+        # tight per-face slope bounds from the face's actual pixels —
+        # the fallback cone bound (+-1.05) wastes ~4x lattice resolution
+        # on a normal-FOV image
+        b_ax, c_ax = [d for d in range(3) if d != a]
+        m = (dom == a) & (pos == p)
+        da = dir_w[..., a][m]
+        sb = dir_w[..., b_ax][m] / da
+        sc = dir_w[..., c_ax][m] / da
+        pad = 0.02
+        bounds = jnp.asarray(
+            [
+                [sb.min() - pad, sb.max() + pad],
+                [sc.min() - pad, sc.max() + pad],
+            ],
+            jnp.float32,
+        )
         r = render_swr_fixed_axis(
             params, grid, cfg, pose, K_j, tuple(img_wh),
-            a, not p, inside=True, **kw,
+            a, not p, inside=True, slope_bounds=bounds, **kw,
         )
         mask = jnp.asarray(
             ((dom == a) & (pos == p)).reshape(-1), jnp.bool_

@@ -56,6 +56,11 @@ class SwrTrainConfig:
     # adam moments of shared levels carry across phase boundaries
     # (``grow_swr_state``).  () = single-phase training
     prog_steps: Tuple[int, ...] = ()
+    # inside-camera near margin (world units): slabs closer than this to
+    # the camera along the sweep axis never composite.  Suppresses the
+    # near-billboard floater mode (a near voxel covers a huge solid
+    # angle); 0 = half a voxel.  Only affects inside-the-grid cameras
+    near: float = 0.0
 
 
 class SwrTrainState(NamedTuple):
@@ -174,6 +179,7 @@ def make_swr_loss(
             want_distortion=tcfg.distortion_w > 0,
             resample_dtype=tcfg.resample_dtype,
             inside=inside,
+            near=tcfg.near,
         )
         err = (out["rgb"] - gt) ** 2
         if inside:
@@ -315,7 +321,7 @@ class SwrTrainer:
             self._axis_flip.append((a, bool(p[a, 3] > 0)))
             self._inside.append(ins)
             if ins:
-                dom, pos, _ = pixel_faces(p, K, img_wh)
+                dom, pos, _, _ = pixel_faces(p, K, img_wh)
                 st = self._face_stride
                 self._face_map.append(
                     (dom[::st, ::st].astype(np.int8), pos[::st, ::st])
@@ -366,6 +372,44 @@ class SwrTrainer:
             self.state = create_swr_state(key, pm, self.tcfg)
         else:
             self.state = grow_swr_state(self.state, pm, self.tcfg, key)
+
+    def load_npz(self, path: str):
+        """Load params saved by train.py's ``model_pyramid.npz`` export
+        (the pyramid path's --ckpt_path).  Jumps the trainer to the final
+        (full-depth) coarse-to-fine phase so the loaded levels fit."""
+        d = np.load(path)
+        levels = []
+        i = 0
+        while f"level_{i}" in d:
+            levels.append(jnp.asarray(d[f"level_{i}"]))
+            i += 1
+        assert levels, f"no pyramid levels in {path}"
+        params = {
+            "levels": levels,
+            "rgb_mlp": {
+                k[len("rgb_mlp_"):]: jnp.asarray(d[k])
+                for k in d.files
+                if k.startswith("rgb_mlp_")
+            },
+        }
+        if "sigma_level" in d:
+            params["sigma_level"] = jnp.asarray(d["sigma_level"])
+        while self._phase_idx + 1 < len(self._phases):
+            self._activate_phase(
+                self._phase_idx + 1,
+                jax.random.fold_in(
+                    jax.random.PRNGKey(23), self._phase_idx + 1
+                ),
+            )
+        exp = [g.shape for g in self.state.params["levels"]]
+        got = [g.shape for g in levels]
+        assert exp == got, f"ckpt level shapes {got} != config {exp}"
+        self.state = SwrTrainState(
+            params,
+            make_optimizer(self.tcfg).init(params),
+            self.state.rng,
+        )
+        self._grid_cache = (None, None)
 
     def run_step(self):
         while (
@@ -463,4 +507,5 @@ class SwrTrainer:
             white_bg=self.tcfg.white_bg,
             lat_cap=lat_cap,
             skip_empty=True,
+            near=self.tcfg.near,
         )

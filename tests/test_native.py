@@ -245,3 +245,57 @@ def test_native_pyramid_render_matches_jax(runner_bin, tmp_path):
     mse = float(np.mean((native_img - np.clip(jax_img, 0, 1)) ** 2))
     psnr = -10.0 * np.log10(mse + 1e-12)
     assert psnr > 25.0, f"native/jax pyramid mismatch: psnr={psnr:.2f}"
+
+
+def test_native_pyramid_inside_camera_matches_jax(runner_bin, tmp_path):
+    """Inside-the-grid camera: C++ runner frame vs the JAX cubemap-face
+    renderer (render_swr_inside).  The native marcher clamps ray entry to
+    t=0, so the same export renders from anywhere."""
+    from taichi_nerfs_tpu.data.synthetic import look_at
+    from taichi_nerfs_tpu.models import pyramid as pyr
+    from taichi_nerfs_tpu.render.swr import render_swr_inside
+    from taichi_nerfs_tpu.utils.export import export_pyramid_native
+
+    cfg = pyr.PyramidConfig(
+        resolutions=(8, 16), features=4, rgb_width=16, scale=0.5,
+        sigma_bias=0.0, deferred=True,
+    )
+    params = pyr.init_pyramid_params(jax.random.PRNGKey(0), cfg)
+    # hollow shell of density: the camera sits in the empty core
+    R = cfg.grid_res
+    c = (jnp.arange(R) + 0.5) / R - 0.5
+    xx, yy, zz = jnp.meshgrid(c, c, c, indexing="ij")
+    r = jnp.sqrt(xx**2 + yy**2 + zz**2)
+    shell = 3.0 * jnp.exp(-(((r - 0.38) / 0.06) ** 2))
+    params["levels"][1] = params["levels"][1].at[..., 0].add(shell)
+
+    w = h = 48
+    focal = 0.9 * w
+    K = np.array(
+        [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32
+    )
+    pose = look_at(
+        np.array([0.1, 0.05, -0.1]), np.array([0.5, 0.3, 0.2]),
+        np.array([0.0, 0.0, 1.0]),
+    )
+    out_dir = str(tmp_path / "pyr_inside")
+    export_pyramid_native(
+        params, cfg, pose, K, (w, h), out_dir, grid_dtype=np.float32
+    )
+    ppm = str(tmp_path / "frame.ppm")
+    res = subprocess.run(
+        [runner_bin, out_dir, ppm, "--threads", "2"],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    native_img = _read_ppm(ppm)
+
+    grid = pyr.bake(params, cfg)
+    jax_img = np.asarray(
+        render_swr_inside(
+            params, grid, cfg, pose, K, (w, h), n_chunks=4
+        )["rgb"]
+    ).reshape(h, w, 3)
+    mse = float(np.mean((native_img - np.clip(jax_img, 0, 1)) ** 2))
+    psnr = -10.0 * np.log10(mse + 1e-12)
+    assert psnr > 22.0, f"native/jax inside mismatch: psnr={psnr:.2f}"

@@ -145,3 +145,41 @@ def test_swr_training_inside_cameras():
     assert last < first, f"no learning inside: {first} -> {last}"
     out = trainer.render(scene.poses[0])
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_swr_checkpoint_roundtrip(tmp_path):
+    """model_pyramid.npz save -> SwrTrainer.load_npz restores params
+    (the pyramid path's --ckpt_path), including under a prog schedule."""
+    scene = SyntheticSphereDataset(n_images=2, img_wh=(32, 32))
+    mcfg = PyramidConfig(
+        resolutions=(8, 16), features=4, rgb_width=16, scale=0.5
+    )
+    tcfg = SwrTrainConfig(
+        crop=32, lr=5e-2, max_steps=10, n_chunks=4, prog_steps=(3,)
+    )
+    tr = SwrTrainer(
+        mcfg, tcfg, scene.rays, scene.poses, scene.K, scene.img_wh
+    )
+    for _ in range(10):
+        tr.run_step()
+    flat = jax.device_get(tr.state.params)
+    p = tmp_path / "model_pyramid.npz"
+    np.savez(
+        p,
+        **{f"level_{i}": g for i, g in enumerate(flat["levels"])},
+        **{f"rgb_mlp_{k}": v for k, v in flat["rgb_mlp"].items()},
+    )
+
+    tr2 = SwrTrainer(
+        mcfg, tcfg, scene.rays, scene.poses, scene.K, scene.img_wh
+    )
+    assert len(tr2.state.params["levels"]) == 1  # phase 0 (truncated)
+    tr2.load_npz(str(p))
+    assert len(tr2.state.params["levels"]) == 2  # jumped to full depth
+    for a, b in zip(tr2.state.params["levels"], flat["levels"]):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    a = tr.render(scene.poses[0])
+    b = tr2.render(scene.poses[0])
+    np.testing.assert_allclose(
+        np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-6
+    )

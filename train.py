@@ -169,6 +169,9 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         train_dataset.K,
         train_dataset.img_wh,
     )
+    if hparams.ckpt_path:
+        trainer.load_npz(hparams.ckpt_path)
+        print(f"loaded pyramid checkpoint from {hparams.ckpt_path}")
     if not hparams.val_only:
         tic = time.time()
         trainer.fit(hparams.max_steps)
