@@ -79,7 +79,7 @@ def main():
         return out
 
     @jax.jit
-    def integrate(ro, rd):
+    def integrate(sigma_g, albedo_g, ro, rd):
         xyz = ro[:, None, :] + ts[None, :, None] * rd[:, None, :]
         inside = jnp.all(jnp.abs(xyz) <= s, axis=-1)
         sigma = trilerp(sigma_g, xyz) * inside
@@ -102,7 +102,11 @@ def main():
         ro = np.concatenate([ro, np.zeros((pad, 3), np.float32)])
         rd = np.concatenate([rd, np.ones((pad, 3), np.float32)])
         outs = [
-            np.asarray(integrate(ro[i : i + chunk], rd[i : i + chunk]))
+            np.asarray(
+                integrate(
+                    sigma_g, albedo_g, ro[i : i + chunk], rd[i : i + chunk]
+                )
+            )
             for i in range(0, n + pad, chunk)
         ]
         img = np.concatenate(outs)[:n]

@@ -117,7 +117,10 @@ def render_swr_fixed_axis(
             could never become occupied.
         warp: final pixel warp — "matmul" (two-pass Catmull-Smith
             homography as batched band matmuls; gather-free, fast
-            transpose) or "gather" (one packed bilinear gather).
+            transpose; pass A solves for camera y), "matmul_x" (same,
+            pass A solves for camera x — for poses/faces where the
+            y-solve is singular; see ``pick_warp``), or "gather" (one
+            packed bilinear gather — always well-posed, slower).
         want_distortion: also accumulate the Mip-NeRF-360 distortion loss
             per pixel (reference modules/distortion.py, DVGO running-sum
             form).  The carry already holds the prefix sums it needs
@@ -607,63 +610,103 @@ def render_swr_fixed_axis(
         # d = r0*x + r1*y + r2 (world), the lattice coords are
         #   li = ((o_b - g_b0)*da - o_a*db) / (g_db * da)
         #   lj = ((o_c - g_c0)*dc_den) ... (same shape in c)
-        # Pass A builds inter[u, j] = img[li_at(u, j), j] where li_at
-        # solves lj(u, v_j) = j for v_j and evaluates li there; pass B
+        # Pass A parametrizes each lattice row j (the line lj = j in the
+        # camera plane) by ONE pixel coordinate and solves for the other:
+        # warp="matmul" fixes x (per output column) and solves for y;
+        # "matmul_x" fixes y (per output row) and solves for x.  The
+        # solve denominator is proportional to (rc[s] - slope_c*ra[s]);
+        # a zero inside the lattice's slope_c range sends the solution
+        # to infinity and the rows near it compose garbage (measured: an
+        # opacity-0 streak on a rolled cubemap sliver face).  The host
+        # picks the well-conditioned coordinate per compiled program
+        # (``pick_warp`` / ``_matmul_solve_choice``); pass B then
         # resamples inter along j at lj(u, v).
         r = pose[:, :3]  # world = r @ cam
         ra = r[axis]
         rb = r[b_axis]
         rc = r[c_axis]
-        xs = (jnp.arange(w_img, dtype=jnp.float32) - K[0, 2] + 0.5) / K[
-            0, 0
-        ]
-        ys = (jnp.arange(h_img, dtype=jnp.float32) - K[1, 2] + 0.5) / K[
-            1, 1
-        ]
+        xs_pix = (
+            jnp.arange(w_img, dtype=jnp.float32) - K[0, 2] + 0.5
+        ) / K[0, 0]
+        ys_pix = (
+            jnp.arange(h_img, dtype=jnp.float32) - K[1, 2] + 0.5
+        ) / K[1, 1]
         j_ar = jnp.arange(nq, dtype=jnp.float32)
         # gamma_j (o_c - g_c0 - j*g_dc): solve
-        #   gamma_j * da(x, y) = (o_a - z_g) * dc(x, y)  for y given x
-        # (the global lattice plane sits at z_g; z_g = 0 outside)
+        #   gamma_j * da(x, y) = (o_a - z_g) * dc(x, y)
+        # for the non-free coordinate (the global lattice plane sits at
+        # z_g; z_g = 0 outside)
         oa_rel = o_a - z_g
         gam = o_c - g_c0 - j_ar * g_dc  # (J,)
-        num_x = (oa_rel * rc[0] - gam[:, None] * ra[0]) * xs[None, :] + (
-            oa_rel * rc[2] - gam[:, None] * ra[2]
-        )  # (J, W)
-        den_y = (
-            gam[:, None] * ra[1] - oa_rel * rc[1] + jnp.zeros_like(num_x)
+        if warp == "matmul_x":
+            fidx, sidx = 1, 0  # free coord y (one solve per row v)
+            free = ys_pix
+        else:
+            fidx, sidx = 0, 1  # free coord x (one solve per column u)
+            free = xs_pix
+        num = (oa_rel * rc[fidx] - gam[:, None] * ra[fidx]) * free[
+            None, :
+        ] + (oa_rel * rc[2] - gam[:, None] * ra[2])  # (J, N)
+        den = (
+            gam[:, None] * ra[sidx] - oa_rel * rc[sidx]
+            + jnp.zeros_like(num)
         )
-        y_j = num_x / jnp.where(jnp.abs(den_y) < 1e-12, 1e-12, den_y)
-        da_j = ra[0] * xs[None, :] + ra[1] * y_j + ra[2]  # (J, W)
-        db_j = rb[0] * xs[None, :] + rb[1] * y_j + rb[2]
+        sol = num / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        if warp == "matmul_x":
+            x_p, y_p = sol, free[None, :] + jnp.zeros_like(sol)
+        else:
+            x_p, y_p = free[None, :] + jnp.zeros_like(sol), sol
+        da_j = ra[0] * x_p + ra[1] * y_p + ra[2]  # (J, N)
+        db_j = rb[0] * x_p + rb[1] * y_p + rb[2]
         posA = ((o_b - g_b0) * da_j - oa_rel * db_j) / (
             g_db * jnp.where(jnp.abs(da_j) < 1e-12, 1e-12, da_j)
-        )  # (J, W): source-i position for (row j, out column u)
+        )  # (J, N): source-i position for (row j, out line n)
         posA = jnp.where(jnp.isfinite(posA), posA, -1e9)
 
         i_ar = jnp.arange(nq, dtype=jnp.float32)
         WA = jnp.maximum(
             0.0, 1.0 - jnp.abs(i_ar[None, :, None] - posA[:, None, :])
-        ).astype(rs_dtype)  # (J, I, W)
-        # inter[j, c, u] = sum_i img[i, j, c] * WA[j, i, u]
+        ).astype(rs_dtype)  # (J, I, N)
+        # inter[j, c, n] = sum_i img[i, j, c] * WA[j, i, n]
         inter = jax.lax.dot_general(
             jnp.transpose(img, (1, 0, 2)).astype(rs_dtype),  # (J, I, C)
             WA,
             dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (J, C, W)
+        )  # (J, C, N)
 
-        posB = jnp.transpose(lj, (1, 0))  # (W, H): j position per (u, v)
-        posB = jnp.where(jnp.isfinite(posB), posB, -1e9)
-        WB = jnp.maximum(
-            0.0, 1.0 - jnp.abs(j_ar[None, :, None] - posB[:, None, :])
-        ).astype(rs_dtype)  # (W, J, H)
-        pixT = jax.lax.dot_general(
-            jnp.transpose(inter, (2, 0, 1)).astype(rs_dtype),  # (W, J, C)
-            WB,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (W, C, H)
-        pix = jnp.transpose(pixT, (2, 0, 1))  # (H, W, C)
+        if warp == "matmul_x":
+            posB = lj  # (H, W): j position per (v, u)
+            posB = jnp.where(jnp.isfinite(posB), posB, -1e9)
+            WB = jnp.maximum(
+                0.0,
+                1.0 - jnp.abs(j_ar[None, :, None] - posB[:, None, :]),
+            ).astype(rs_dtype)  # (H, J, W)
+            pixT = jax.lax.dot_general(
+                jnp.transpose(inter, (2, 0, 1)).astype(
+                    rs_dtype
+                ),  # (H, J, C)
+                WB,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (H, C, W)
+            pix = jnp.transpose(pixT, (0, 2, 1))  # (H, W, C)
+        else:
+            posB = jnp.transpose(lj, (1, 0))  # (W, H): j per (u, v)
+            posB = jnp.where(jnp.isfinite(posB), posB, -1e9)
+            WB = jnp.maximum(
+                0.0,
+                1.0 - jnp.abs(j_ar[None, :, None] - posB[:, None, :]),
+            ).astype(rs_dtype)  # (W, J, H)
+            pixT = jax.lax.dot_general(
+                jnp.transpose(inter, (2, 0, 1)).astype(
+                    rs_dtype
+                ),  # (W, J, C)
+                WB,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (W, C, H)
+            pix = jnp.transpose(pixT, (2, 0, 1))  # (H, W, C)
     pix = jnp.where(behind[..., None], 0.0, pix)
 
     depth = pix[..., acc_ch]
@@ -717,6 +760,84 @@ def _pixel_slopes(pose, K, img_wh, axis, n_grid: int = 17):
     sb = world[..., b_axis] / world[..., axis]
     sc = world[..., c_axis] / world[..., axis]
     return sb, sc
+
+
+def _matmul_solve_choice(
+    pose, axis: int, sc_lo: float, sc_hi: float, tol: float = 1e-3
+) -> str:
+    """Host: pick the matmul warp's pass-A solve coordinate.
+
+    The pass-A denominator for solve coordinate ``s`` is proportional to
+    ``rc[s] - slope_c * ra[s]`` over the lattice's slope_c range
+    (``rc``/``ra`` the c/sweep-axis rows of the camera rotation); a zero
+    crossing inside the range sends that row's solve to infinity and the
+    lattice rows near it compose garbage.  Returns "matmul" (solve for
+    camera y — the historical default) when its denominator stays away
+    from zero over ``[sc_lo, sc_hi]``, else "matmul_x", else "gather"
+    (both solves singular, e.g. a ~45-degree-rolled camera with the
+    singular slope in range).
+    """
+    import numpy as np
+
+    r = np.asarray(pose, np.float64)[:, :3]
+    c_axis = [d for d in range(3) if d != axis][1]
+    ra, rc = r[axis], r[c_axis]
+    pad = 0.05 * max(sc_hi - sc_lo, 0.1)
+    lo, hi = sc_lo - pad, sc_hi + pad
+    for s, name in ((1, "matmul"), (0, "matmul_x")):
+        e0 = rc[s] - lo * ra[s]
+        e1 = rc[s] - hi * ra[s]
+        if e0 * e1 > 0 and min(abs(e0), abs(e1)) > tol:
+            return name
+    return "gather"
+
+
+def pick_warp(
+    pose,
+    K,
+    img_wh: Tuple[int, int],
+    axis: int,
+    face_sign: float | None = None,
+    crop_xy: Tuple[int, int] = (0, 0),
+    n_grid: int = 7,
+) -> str:
+    """Host: final-warp mode for one compiled (pose, face[, crop]) program.
+
+    Samples ray slopes on an ``n_grid`` x ``n_grid`` pixel grid of the
+    (cropped) view; ``face_sign`` (+-1) restricts to the pixels a cubemap
+    face owns (matching the inside path's face-masked merge/loss), and
+    delegates the conditioning test to :func:`_matmul_solve_choice`.
+    """
+    import numpy as np
+
+    pose = np.asarray(pose, np.float64).reshape(3, 4)
+    K = np.asarray(K, np.float64)
+    w, h = img_wh
+    u = crop_xy[0] + np.linspace(0.0, w - 1.0, n_grid)
+    v = crop_xy[1] + np.linspace(0.0, h - 1.0, n_grid)
+    uu, vv = np.meshgrid(u, v, indexing="xy")
+    cam = np.stack(
+        [
+            (uu - K[0, 2] + 0.5) / K[0, 0],
+            (vv - K[1, 2] + 0.5) / K[1, 1],
+            np.ones_like(uu),
+        ],
+        axis=-1,
+    )
+    d = cam @ pose[:, :3].T
+    c_axis = [x for x in range(3) if x != axis][1]
+    da = d[..., axis]
+    if face_sign is not None:
+        dom = np.argmax(np.abs(d), axis=-1)
+        m = (dom == axis) & (face_sign * da > 0)
+        if not m.any():
+            return "matmul"
+        sc = d[..., c_axis][m] / da[m]
+    else:
+        sc = d[..., c_axis] / np.where(np.abs(da) < 1e-12, 1e-12, da)
+    return _matmul_solve_choice(
+        pose, axis, float(sc.min()), float(sc.max())
+    )
 
 
 def _max_window_span(arr, k: int) -> float:
@@ -811,6 +932,8 @@ def render_swr(
     lat_pad = kw.get("lat_pad", 16)
     if lat_cap and max(img_wh) + lat_pad > lat_cap:
         kw["lat_size"] = lat_cap
+    if "warp" not in kw:
+        kw["warp"] = pick_warp(pose, K, tuple(img_wh), axis)
     return render_swr_fixed_axis(
         params, grid, cfg, pose, jnp.asarray(K, jnp.float32), tuple(img_wh),
         axis, flip, **kw,
@@ -899,9 +1022,23 @@ def render_swr_inside(
             ],
             jnp.float32,
         )
+        face_kw = kw
+        if "warp" not in kw:
+            # per-face solve-coordinate pick: a sliver face's lattice c
+            # axis can align with image x, making the default y-solve
+            # singular (_matmul_solve_choice docstring)
+            face_kw = dict(
+                kw,
+                warp=_matmul_solve_choice(
+                    np.asarray(pose),
+                    a,
+                    float(sc.min()) - pad,
+                    float(sc.max()) + pad,
+                ),
+            )
         r = render_swr_fixed_axis(
             params, grid, cfg, pose, K_j, tuple(img_wh),
-            a, not p, inside=True, slope_bounds=bounds, **kw,
+            a, not p, inside=True, slope_bounds=bounds, **face_kw,
         )
         mask = jnp.asarray(
             ((dom == a) & (pos == p)).reshape(-1), jnp.bool_

@@ -517,3 +517,82 @@ def test_swr_inside_outside_consistent(setup):
     )
     psnr = -10 * np.log10(mse + 1e-12)
     assert psnr > 30.0, f"inside-path regression on outside camera: {psnr}"
+
+
+def test_swr_warp_solve_transposed_matches(setup):
+    """The transposed pass-A solve ("matmul_x") agrees with the default
+    y-solve and the gather warp where all three are well-posed."""
+    cfg, params, grid = setup
+    w = h = 32
+    K = np.array(
+        [[0.9 * w, 0, w / 2], [0, 0.9 * w, h / 2], [0, 0, 1]], np.float32
+    )
+    pose = look_at(
+        np.array([0.3, 0.2, -1.3]), np.zeros(3), np.array([0.0, 0.0, 1.0])
+    ).astype(np.float64)
+    outs = {
+        wp: np.asarray(
+            render_swr(
+                params, grid, cfg, pose, K, (w, h), n_chunks=8, warp=wp
+            )["rgb"]
+        )
+        for wp in ("matmul", "matmul_x", "gather")
+    }
+    for wp in ("matmul_x", "gather"):
+        mse = float(np.mean((outs["matmul"] - outs[wp]) ** 2))
+        psnr = -10 * np.log10(mse + 1e-12)
+        assert psnr > 35.0, f"warp={wp} disagrees: psnr={psnr:.2f}"
+
+
+def test_swr_inside_singular_face_no_streak(setup):
+    """Regression: a cubemap sliver face whose lattice c axis aligns with
+    image x makes the default y-solve singular (den crosses zero inside
+    the lattice's slope range) — rows near the zero composed garbage and
+    pixels there came out with opacity 0 (a streak).  The per-face solve
+    pick must route such faces to "matmul_x" (or gather) and match the
+    gather oracle."""
+    from taichi_nerfs_tpu.render.swr import (
+        _matmul_solve_choice,
+        pixel_faces,
+        render_swr_inside,
+    )
+
+    cfg, params, grid = setup
+    w = h = 48
+    focal = 0.55 * w  # wide FOV so the up-facing sliver face appears
+    K = np.array(
+        [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32
+    )
+    # camera inside, looking along +x with up +z: the +z face's lattice
+    # (b, c) = (x, y) has its c axis along image x -> y-solve singular
+    pose = look_at(
+        np.array([0.14, 0.02, 0.06]),
+        np.array([0.9, 0.1, 0.35]),
+        np.array([0.0, 0.0, 1.0]),
+    ).astype(np.float64)
+    dom, pos, faces, dir_w = pixel_faces(pose, K, (w, h))
+    picks = {}
+    for a, p in faces:
+        c_ax = [d for d in range(3) if d != a][1]
+        m = (dom == a) & (pos == p)
+        sc = dir_w[..., c_ax][m] / dir_w[..., a][m]
+        picks[(a, p)] = _matmul_solve_choice(
+            np.asarray(pose), a, float(sc.min()) - 0.02,
+            float(sc.max()) + 0.02,
+        )
+    assert (2, True) in picks and picks[(2, True)] != "matmul", picks
+    out = render_swr_inside(
+        params, grid, cfg, pose, K, (w, h), n_chunks=8
+    )
+    ref = render_swr_inside(
+        params, grid, cfg, pose, K, (w, h), n_chunks=8, warp="gather"
+    )
+    got, want = np.asarray(out["rgb"]), np.asarray(ref["rgb"])
+    assert np.isfinite(got).all()
+    mse = float(np.mean((got - want) ** 2))
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 35.0, f"singular-face warp mismatch: psnr={psnr:.2f}"
+    # and no opacity hole on the sliver face's pixels
+    op = np.asarray(out["opacity"]).reshape(h, w)
+    m = (dom == 2) & pos
+    assert op[m].min() > 0.5, f"opacity hole: {op[m].min()}"
