@@ -63,6 +63,16 @@ def get_opts(prefix_args=None):
                              "to --max_steps; '' disables.  Measured "
                              "(800^2 checker, 200 views): 39.4 eval "
                              "PSNR @ 590 s vs 29.0 @ 411 s single-phase")
+    parser.add_argument("--cam_carve", type=float, default=0.0,
+                        help="pyramid model: camera free-space carving "
+                             "radius (world units) — voxels within it of "
+                             "any training camera bake to sigma 0. "
+                             "Counters the near-billboard attractor of "
+                             "inside-the-scene rigs; 0 disables")
+    parser.add_argument("--near_margin", type=float, default=0.0,
+                        help="pyramid model: inside-camera near margin "
+                             "(world units) along the sweep axis; 0 = "
+                             "half a voxel")
     parser.add_argument("--encoder_type", type=str, default="brick",
                         choices=["hash", "triplane", "brick"],
                         help="which encoder to use (brick = TPU-native "

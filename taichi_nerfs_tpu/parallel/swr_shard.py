@@ -46,6 +46,7 @@ def make_swr_sharded_step(
     axis: int,
     flip: bool,
     slab_window: int = 0,
+    warp: str = "matmul",
 ):
     """Jitted shard_map'd SWR train step: one crop per chip.
 
@@ -66,7 +67,7 @@ def make_swr_sharded_step(
         rng, k_tv = jax.random.split(jax.random.fold_in(state.rng, dev))
         loss_fn = make_swr_loss(
             image[0], pose[0], K[0], crop_xy[0], k_tv, mcfg, tcfg,
-            axis, flip, slab_window,
+            axis, flip, slab_window, warp=warp,
         )
         (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params

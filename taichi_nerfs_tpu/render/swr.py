@@ -840,6 +840,62 @@ def pick_warp(
     )
 
 
+def face_slope_bounds(
+    pose,
+    K,
+    img_wh: Tuple[int, int],
+    axis: int,
+    face_sign: float,
+    crop_xy: Tuple[int, int] = (0, 0),
+    n_grid: int = 17,
+    pad: float = 0.02,
+):
+    """Host: tight (2, 2) slope bounds of a face's pixels in a crop.
+
+    Samples ray slopes (d_b/d_a, d_c/d_a) on an ``n_grid`` grid of the
+    crop, restricted to the pixels the cubemap face ``(axis,
+    sign(face_sign))`` owns.  Returns ``[[sb_lo, sb_hi], [sc_lo,
+    sc_hi]]`` (float32) for ``render_swr_fixed_axis``'s ``slope_bounds``,
+    or None when the sampled grid has no face pixels.  Ends that reach
+    the dominance boundary (|slope| > 0.9 — the sampled extremum can
+    undershoot the true one there) extend to the full cone edge; interior
+    ends keep the measured value + ``pad``.  Without this, training
+    crops that straddle a face boundary fall back to cone-wide traced
+    bounds and render ~4x blurrier than eval (which computes tight
+    bounds per face on the host).
+    """
+    import numpy as np
+
+    pose = np.asarray(pose, np.float64).reshape(3, 4)
+    K = np.asarray(K, np.float64)
+    w, h = img_wh
+    u = crop_xy[0] + np.linspace(0.0, w - 1.0, n_grid)
+    v = crop_xy[1] + np.linspace(0.0, h - 1.0, n_grid)
+    uu, vv = np.meshgrid(u, v, indexing="xy")
+    cam = np.stack(
+        [
+            (uu - K[0, 2] + 0.5) / K[0, 0],
+            (vv - K[1, 2] + 0.5) / K[1, 1],
+            np.ones_like(uu),
+        ],
+        axis=-1,
+    )
+    d = cam @ pose[:, :3].T
+    b_axis, c_axis = [x for x in range(3) if x != axis]
+    da = d[..., axis]
+    dom = np.argmax(np.abs(d), axis=-1)
+    m = (dom == axis) & (face_sign * da > 0)
+    if not m.any():
+        return None
+    out = np.empty((2, 2), np.float32)
+    for row, ax in enumerate((b_axis, c_axis)):
+        sl = d[..., ax][m] / da[m]
+        lo, hi = float(sl.min()) - pad, float(sl.max()) + pad
+        out[row, 0] = -1.05 if lo < -0.9 else lo
+        out[row, 1] = 1.05 if hi > 0.9 else hi
+    return out
+
+
 def _max_window_span(arr, k: int) -> float:
     """Max (max - min) over any (k+1)x(k+1) sample window of a 2-D grid."""
     import numpy as np

@@ -61,6 +61,26 @@ class SwrTrainConfig:
     # near-billboard floater mode (a near voxel covers a huge solid
     # angle); 0 = half a voxel.  Only affects inside-the-grid cameras
     near: float = 0.0
+    # composite training pixels over per-pixel random background colors
+    # instead of the dataset background (reference --random_bg).  Kills
+    # the transparent-black shortcut: with a fixed white background and
+    # content darker than white, the loss drives the rgb logits hard
+    # negative before opacity forms and the color net saturates black
+    # (measured: grayscale renders, MLP grads ~1e-33, ~15 dB cap on
+    # enclosed inside-camera scenes).  Assumes GT pixels are fully
+    # opaque (true for enclosed scenes; object-dataset silhouettes lose
+    # their alpha blend, as in the reference)
+    random_bg: bool = False
+    # camera free-space carving (world units): voxels within this radius
+    # of ANY training camera get sigma forced to 0 at bake time (train
+    # and eval).  The watertight, per-voxel version of ``near`` — the
+    # per-ray margin only masks each camera's own rays, so a fog/
+    # billboard shell just outside the margin stays consistent across an
+    # inside-the-scene rig (measured: 20-60 outward-facing cameras
+    # converge to a proxy shell at the margin).  Physically grounded:
+    # cameras move through free space (DVGO/F2-NeRF use the same prior).
+    # 0 = off
+    cam_carve: float = 0.0
 
 
 class SwrTrainState(NamedTuple):
@@ -128,6 +148,34 @@ def grow_swr_state(
     return SwrTrainState(params, tuple(grown), state.rng)
 
 
+def apply_sigma_keep(grid, sigma_keep: jnp.ndarray):
+    """Zero the baked grid's sigma channel where ``sigma_keep`` is 0."""
+    if isinstance(grid, tuple):
+        sigma, feats = grid
+        return sigma * sigma_keep, feats
+    return jnp.concatenate(
+        [grid[..., :1] * sigma_keep[..., None], grid[..., 1:]], axis=-1
+    )
+
+
+def camera_keep_mask(
+    poses: np.ndarray, res: int, carve: float, scale: float = 0.5
+) -> np.ndarray:
+    """(res, res, res) float32: 0 inside ``carve`` of any camera, else 1.
+
+    The free-space prior behind ``SwrTrainConfig.cam_carve``: a voxel a
+    training camera has been within ``carve`` of cannot be solid.
+    """
+    c = (np.arange(res, dtype=np.float32) + 0.5) / res * (2 * scale) - scale
+    xx, yy, zz = np.meshgrid(c, c, c, indexing="ij")
+    pts = np.stack([xx, yy, zz], axis=-1)  # (R, R, R, 3)
+    keep = np.ones((res, res, res), np.float32)
+    for p in np.asarray(poses, np.float32).reshape(-1, 3, 4):
+        d2 = ((pts - p[:, 3]) ** 2).sum(-1)
+        keep *= (d2 > carve * carve).astype(np.float32)
+    return keep
+
+
 def make_swr_loss(
     gt_image: jnp.ndarray,  # (H, W, 3)
     pose: jnp.ndarray,  # (3, 4)
@@ -141,6 +189,9 @@ def make_swr_loss(
     slab_window: int = 0,
     lat_size: int = 0,
     inside: bool = False,
+    warp: str = "matmul",
+    sigma_keep: jnp.ndarray | None = None,
+    slope_bounds: jnp.ndarray | None = None,
 ):
     """Build ``loss_fn(params) -> (loss, mse)`` for one training crop.
 
@@ -163,6 +214,10 @@ def make_swr_loss(
 
     def loss_fn(params):
         grid = pyr.bake(params, mcfg)
+        if sigma_keep is not None:
+            # camera free-space carving (tcfg.cam_carve): zero sigma in
+            # voxels a training camera has occupied
+            grid = apply_sigma_keep(grid, sigma_keep)
         out = render_swr_fixed_axis(
             params,
             grid,
@@ -173,15 +228,23 @@ def make_swr_loss(
             axis,
             flip,
             n_chunks=min(tcfg.n_chunks, mcfg.grid_res),
-            white_bg=tcfg.white_bg,
+            white_bg=tcfg.white_bg and not tcfg.random_bg,
             slab_window=slab_window,
             lat_size=lat_size,
             want_distortion=tcfg.distortion_w > 0,
             resample_dtype=tcfg.resample_dtype,
             inside=inside,
             near=tcfg.near,
+            warp=warp,
+            slope_bounds=slope_bounds,
         )
-        err = (out["rgb"] - gt) ** 2
+        rgb_pred = out["rgb"]
+        if tcfg.random_bg:
+            bg = jax.random.uniform(
+                jax.random.fold_in(k_tv, 17), (c * c, 3)
+            )
+            rgb_pred = rgb_pred + (1.0 - out["opacity"])[:, None] * bg
+        err = (rgb_pred - gt) ** 2
         if inside:
             # mask to the face's pixels (same dirs as the renderer's
             # final warp, crop intrinsics)
@@ -250,7 +313,7 @@ def make_swr_loss(
 @partial(
     jax.jit,
     static_argnames=("mcfg", "tcfg", "axis", "flip", "slab_window",
-                     "lat_size", "inside"),
+                     "lat_size", "inside", "warp"),
     donate_argnames=("state",),
 )
 def swr_train_step(
@@ -266,11 +329,14 @@ def swr_train_step(
     slab_window: int = 0,
     lat_size: int = 0,
     inside: bool = False,
+    warp: str = "matmul",
+    sigma_keep: jnp.ndarray | None = None,
+    slope_bounds: jnp.ndarray | None = None,
 ) -> Tuple[SwrTrainState, Dict[str, jnp.ndarray]]:
     rng, k_tv = jax.random.split(state.rng)
     loss_fn = make_swr_loss(
         gt_image, pose, K, crop_xy, k_tv, mcfg, tcfg, axis, flip,
-        slab_window, lat_size, inside,
+        slab_window, lat_size, inside, warp, sigma_keep, slope_bounds,
     )
     (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
@@ -367,6 +433,15 @@ class SwrTrainer:
             if outside
             else 0  # inside sweeps always use the full matmul
         )
+        if self.tcfg.cam_carve > 0:
+            res = pm.sigma_res if pm.split else pm.grid_res
+            self.sigma_keep = jnp.asarray(
+                camera_keep_mask(
+                    self.poses_np, res, self.tcfg.cam_carve, pm.scale
+                )
+            )
+        else:
+            self.sigma_keep = None
         self._grid_cache = (None, None)
         if idx == 0:
             self.state = create_swr_state(key, pm, self.tcfg)
@@ -428,9 +503,12 @@ class SwrTrainer:
         x0 = self._host_rng.randint(max(w - c, 0) + 1)
         y0 = self._host_rng.randint(max(h - c, 0) + 1)
         inside = self._inside[i]
+        slope_bounds = None
         if inside:
-            # majority face over the crop (subsampled face map); pixels
-            # of other faces are masked out of the loss
+            # sample the training face by pixel share over the crop
+            # (subsampled face map); pixels of other faces are masked out
+            # of the loss.  A deterministic majority pick would leave each
+            # view's minority-face pixels out of every loss forever
             dom, pos = self._face_map[i]
             st = self._face_stride
             sd = dom[y0 // st : (y0 + c) // st + 1,
@@ -438,10 +516,51 @@ class SwrTrainer:
             sp = pos[y0 // st : (y0 + c) // st + 1,
                      x0 // st : (x0 + c) // st + 1]
             ids = (sd.astype(np.int64) * 2 + sp).ravel()
-            face = int(np.bincount(ids, minlength=6).argmax())
+            counts = np.bincount(ids, minlength=6).astype(np.float64)
+            face = int(
+                self._host_rng.choice(6, p=counts / counts.sum())
+            )
             axis, flip = face // 2, not bool(face % 2)
         else:
             axis, flip = self._axis_flip[i]
+        from ..render.swr import face_slope_bounds, pick_warp
+
+        if inside:
+            # tight per-crop slope bounds for the trained face (host
+            # numbers, traced values — no retrace churn); the in-trace
+            # fallback is cone-wide for multi-face crops and blurs the
+            # training render ~4x relative to eval
+            b = face_slope_bounds(
+                self.poses_np[i],
+                np.asarray(self.K),
+                (c, c),
+                axis,
+                -1.0 if flip else 1.0,
+                crop_xy=(x0, y0),
+            )
+            if b is not None:
+                slope_bounds = jnp.asarray(b, jnp.float32)
+
+        # static per-crop solve-coordinate pick for the matmul warp
+        # (render/swr.py _matmul_solve_choice) — at most 3 variants per
+        # (axis, flip, inside) program bucket
+        if slope_bounds is not None:
+            from ..render.swr import _matmul_solve_choice
+
+            warp = _matmul_solve_choice(
+                self.poses_np[i], axis, float(b[1, 0]), float(b[1, 1])
+            )
+        else:
+            warp = pick_warp(
+                self.poses_np[i],
+                np.asarray(self.K),
+                (c, c),
+                axis,
+                face_sign=(
+                    (-1.0 if flip else 1.0) if inside else None
+                ),
+                crop_xy=(x0, y0),
+            )
         self.state, metrics = swr_train_step(
             self.state,
             self.images[i],
@@ -455,6 +574,9 @@ class SwrTrainer:
             slab_window=0 if inside else self.slab_window,
             lat_size=self.lat_size,
             inside=inside,
+            warp=warp,
+            sigma_keep=self.sigma_keep,
+            slope_bounds=slope_bounds,
         )
         self.step += 1
         return metrics
@@ -482,10 +604,10 @@ class SwrTrainer:
 
         # bake once per training step, not once per rendered view
         if getattr(self, "_grid_cache", (None, None))[0] != self.step:
-            self._grid_cache = (
-                self.step,
-                pyr.bake_jit(self.state.params, self.cur_mcfg),
-            )
+            baked = pyr.bake_jit(self.state.params, self.cur_mcfg)
+            if self.sigma_keep is not None:
+                baked = apply_sigma_keep(baked, self.sigma_keep)
+            self._grid_cache = (self.step, baked)
         grid = self._grid_cache[1]
         if lat_cap == "auto":
             lat_cap = int(1.25 * self.cur_mcfg.grid_res) + 16

@@ -23,6 +23,14 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The env override above is NOT enough on a machine with the axon
+# sitecustomize hook: that hook imports jax at interpreter startup (before
+# conftest runs), so jax's platform config latched JAX_PLATFORMS=axon from
+# the shell env.  Re-point it at runtime — backends initialize lazily, so
+# nothing has touched the tunnel yet and this guarantees the suite never
+# does (a down tunnel otherwise hangs/fails CPU-only tests).
+jax.config.update("jax_platforms", "cpu")
+
 # persistent XLA compilation cache: repeat pytest runs skip recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -596,3 +596,54 @@ def test_swr_inside_singular_face_no_streak(setup):
     op = np.asarray(out["opacity"]).reshape(h, w)
     m = (dom == 2) & pos
     assert op[m].min() > 0.5, f"opacity hole: {op[m].min()}"
+
+
+def test_face_slope_bounds_cover_face_pixels():
+    """face_slope_bounds (host helper used by the inside-camera trainer)
+    must cover the true (d_b/d_a, d_c/d_a) slopes of every pixel the face
+    owns — an undershot bound clips real geometry out of the training
+    render.  Interior ends carry a +pad margin; ends that reach the
+    dominance boundary extend to the full cone (+-1.05)."""
+    from taichi_nerfs_tpu.render.swr import face_slope_bounds, pixel_faces
+
+    w = h = 48
+    K = np.array(
+        [[0.7 * w, 0, w / 2], [0, 0.7 * h, h / 2], [0, 0, 1]], np.float32
+    )
+    pose = look_at(
+        np.array([0.05, -0.1, 0.12]),
+        np.array([0.8, 0.3, -0.2]),
+        np.array([0.0, 0.0, 1.0]),
+    ).astype(np.float64)
+    dom, pos, faces, dir_w = pixel_faces(pose, K, (w, h))
+    assert len(faces) >= 2  # oblique view: several faces share the image
+    for a, p in faces:
+        b = face_slope_bounds(
+            pose, K, (w, h), a, 1.0 if p else -1.0, n_grid=33
+        )
+        assert b is not None
+        m = (dom == a) & (pos == p)
+        b_ax, c_ax = [d for d in range(3) if d != a]
+        da = dir_w[..., a][m]
+        for row, ax in enumerate((b_ax, c_ax)):
+            sl = dir_w[..., ax][m] / da
+            lo, hi = float(b[row, 0]), float(b[row, 1])
+            assert lo <= sl.min() + 1e-5, (a, p, row, lo, sl.min())
+            assert hi >= sl.max() - 1e-5, (a, p, row, hi, sl.max())
+            # never wider than the full dominance cone + margin
+            assert lo >= -1.05 - 1e-6 and hi <= 1.05 + 1e-6
+
+
+def test_face_slope_bounds_empty_face():
+    """A face with no pixels in the crop returns None."""
+    from taichi_nerfs_tpu.render.swr import face_slope_bounds
+
+    w = h = 32
+    K = np.array(
+        [[2.0 * w, 0, w / 2], [0, 2.0 * h, h / 2], [0, 0, 1]], np.float32
+    )
+    # narrow FOV looking along +x: the -x face owns nothing
+    pose = look_at(
+        np.zeros(3), np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0])
+    ).astype(np.float64)
+    assert face_slope_bounds(pose, K, (w, h), 0, -1.0) is None

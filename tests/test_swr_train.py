@@ -127,16 +127,25 @@ def test_swr_training_inside_cameras():
     mcfg = PyramidConfig(
         resolutions=(8, 16), features=4, rgb_width=16, scale=0.5
     )
+    # random_bg: required for enclosed scenes — a fixed background
+    # saturates the color net black before opacity forms (the
+    # transparent-model shortcut) and renders come out grayscale
+    # 120 steps: chroma develops after opacity forms (measured on this
+    # scene: step 30 chroma 5e-4 / opac 0.14, step 120 chroma 0.25 /
+    # opac 0.77 / 20.4 PSNR) — asserting earlier flakes
     tcfg = SwrTrainConfig(
-        crop=32, lr=5e-2, max_steps=30, n_chunks=4, sigma_l1=0.0
+        crop=32, lr=5e-2, max_steps=120, n_chunks=4, sigma_l1=0.0,
+        random_bg=True, cam_carve=0.1,
     )
     trainer = SwrTrainer(
         mcfg, tcfg, scene.rays, scene.poses, scene.K, scene.img_wh
     )
     assert all(trainer._inside)
+    assert trainer.sigma_keep is not None
+    assert float(np.asarray(trainer.sigma_keep).mean()) < 1.0
     first = None
     m = None
-    for _ in range(30):
+    for _ in range(120):
         m = trainer.run_step()
         if first is None:
             first = float(jax.device_get(m["loss"]))
@@ -144,7 +153,14 @@ def test_swr_training_inside_cameras():
     assert np.isfinite(last)
     assert last < first, f"no learning inside: {first} -> {last}"
     out = trainer.render(scene.poses[0])
-    assert np.isfinite(np.asarray(out["rgb"])).all()
+    rgb = np.asarray(out["rgb"])
+    assert np.isfinite(rgb).all()
+    # color-collapse regression: the render must not be grayscale (the
+    # GT sphere is strongly colored, chroma 0.20); chroma = per-pixel
+    # channel spread.  Without random_bg the color net saturates black
+    # and chroma stays ~1e-4 forever
+    chroma = float((rgb.max(-1) - rgb.min(-1)).mean())
+    assert chroma > 0.05, f"grayscale render (color net collapsed): {chroma}"
 
 
 def test_swr_checkpoint_roundtrip(tmp_path):
@@ -183,3 +199,49 @@ def test_swr_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-6
     )
+
+
+def test_camera_keep_mask_oracle():
+    """camera_keep_mask zeroes exactly the voxels within the carve radius
+    of some training camera (voxel centers, world coords)."""
+    from taichi_nerfs_tpu.train.swr_step import camera_keep_mask
+
+    res, scale, carve = 16, 0.5, 0.13
+    poses = np.zeros((2, 3, 4), np.float32)
+    poses[0, :, 3] = [0.1, -0.05, 0.2]
+    poses[1, :, 3] = [-0.3, 0.0, -0.1]
+    keep = camera_keep_mask(poses, res, carve, scale)
+    assert keep.shape == (res, res, res)
+    c = (np.arange(res) + 0.5) / res - scale
+    xx, yy, zz = np.meshgrid(c, c, c, indexing="ij")
+    pts = np.stack([xx, yy, zz], -1)
+    want = np.ones((res, res, res))
+    for p in poses:
+        want *= (((pts - p[:, 3]) ** 2).sum(-1) > carve**2)
+    np.testing.assert_array_equal(keep, want)
+    assert 0.0 < keep.mean() < 1.0  # carves something, not everything
+
+
+def test_apply_sigma_keep_shapes():
+    """apply_sigma_keep zeroes only the sigma channel, both grid forms."""
+    import jax.numpy as jnp
+
+    from taichi_nerfs_tpu.train.swr_step import apply_sigma_keep
+
+    rng = np.random.RandomState(0)
+    keep = jnp.asarray((rng.rand(4, 4, 4) > 0.5).astype(np.float32))
+    # fused form: (R, R, R, 1+F)
+    g = jnp.asarray(rng.rand(4, 4, 4, 5).astype(np.float32))
+    out = np.asarray(apply_sigma_keep(g, keep))
+    np.testing.assert_allclose(
+        out[..., 0], np.asarray(g[..., 0]) * np.asarray(keep)
+    )
+    np.testing.assert_array_equal(out[..., 1:], np.asarray(g[..., 1:]))
+    # split form: (sigma, feats) tuple
+    sig = jnp.asarray(rng.rand(4, 4, 4).astype(np.float32))
+    feats = jnp.asarray(rng.rand(4, 4, 4, 4).astype(np.float32))
+    s2, f2 = apply_sigma_keep((sig, feats), keep)
+    np.testing.assert_allclose(
+        np.asarray(s2), np.asarray(sig) * np.asarray(keep)
+    )
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(feats))
