@@ -47,12 +47,29 @@ def make_swr_sharded_step(
     flip: bool,
     slab_window: int = 0,
     warp: str = "matmul",
+    inside: bool = False,
+    lat_size: int = 0,
+    with_sigma_keep: bool = False,
+    with_slope_bounds: bool = False,
 ):
     """Jitted shard_map'd SWR train step: one crop per chip.
 
     Inputs per call (leading dim = n_devices, sharded over ``data``):
       images (D, H, W, 3), poses (D, 3, 4), Ks (D, 3, 3),
       crop_xy (D, 2) int32.
+
+    ``inside`` trains a cubemap face of inside-the-grid cameras — the
+    host must group the batch by face, since (axis, flip, warp) are
+    static per program (same constraint as the outside sweep).  The
+    optional trailing operands (enabled at build time so the call
+    signature stays positional):
+
+    * ``with_sigma_keep``: one replicated (R, R, R) camera free-space
+      carving mask (``train/swr_step.camera_keep_mask``) appended after
+      ``crop_xy`` — passed per call rather than closed over so the grid
+      isn't baked into the executable as a constant;
+    * ``with_slope_bounds``: per-crop (D, 2, 2) tight slope bounds
+      (``render/swr.face_slope_bounds``), sharded like the crops.
     """
     optimizer = make_optimizer(tcfg)
 
@@ -62,12 +79,17 @@ def make_swr_sharded_step(
         pose: jnp.ndarray,  # (1, 3, 4)
         K: jnp.ndarray,  # (1, 3, 3)
         crop_xy: jnp.ndarray,  # (1, 2)
+        *extra: jnp.ndarray,
     ) -> Tuple[SwrTrainState, Dict[str, jnp.ndarray]]:
+        it = iter(extra)
+        sigma_keep = next(it) if with_sigma_keep else None
+        slope_bounds = next(it)[0] if with_slope_bounds else None
         dev = jax.lax.axis_index(DATA_AXIS)
         rng, k_tv = jax.random.split(jax.random.fold_in(state.rng, dev))
         loss_fn = make_swr_loss(
             image[0], pose[0], K[0], crop_xy[0], k_tv, mcfg, tcfg,
-            axis, flip, slab_window, warp=warp,
+            axis, flip, slab_window, lat_size, inside, warp,
+            sigma_keep, slope_bounds,
         )
         (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -86,10 +108,16 @@ def make_swr_sharded_step(
 
     state_specs = SwrTrainState(params=P(), opt_state=P(), rng=P())
     data_spec = P(DATA_AXIS)
+    extra_specs = ()
+    if with_sigma_keep:
+        extra_specs += (P(),)  # replicated
+    if with_slope_bounds:
+        extra_specs += (data_spec,)
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(state_specs, data_spec, data_spec, data_spec, data_spec),
+        in_specs=(state_specs, data_spec, data_spec, data_spec, data_spec)
+        + extra_specs,
         out_specs=(state_specs, P()),
         check_vma=False,
     )

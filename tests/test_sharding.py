@@ -124,3 +124,67 @@ print("swr-sharded-ok")
     res = _run_cpu(code)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "swr-sharded-ok" in res.stdout
+
+
+@pytest.mark.slow
+def test_swr_sharded_step_inside():
+    """Inside-camera crop-parallel step: one cubemap face per program,
+    camera carving mask replicated, per-crop slope bounds sharded."""
+    code = """
+import jax, numpy as np
+import jax.numpy as jnp
+from taichi_nerfs_tpu.data.synthetic import look_at
+from taichi_nerfs_tpu.models.pyramid import PyramidConfig
+from taichi_nerfs_tpu.parallel import (
+    make_mesh, make_swr_sharded_step, shard_swr_batch, shard_swr_state,
+)
+from taichi_nerfs_tpu.render.swr import face_slope_bounds
+from taichi_nerfs_tpu.train.swr_step import (
+    SwrTrainConfig, camera_keep_mask, create_swr_state,
+)
+
+mcfg = PyramidConfig(resolutions=(8, 16), features=4, rgb_width=16)
+tcfg = SwrTrainConfig(crop=16, max_steps=10, n_chunks=4, random_bg=True,
+                      cam_carve=0.1)
+mesh = make_mesh(8)
+state = shard_swr_state(
+    create_swr_state(jax.random.PRNGKey(0), mcfg, tcfg), mesh
+)
+rng = np.random.RandomState(0)
+D, H, W = 8, 24, 24
+K = np.array([[16.0, 0, W / 2], [0, 16.0, H / 2], [0, 0, 1]], np.float32)
+# all cameras inside, all looking along +x: one face (axis=0, flip=False)
+poses, bounds = [], []
+for i in range(D):
+    eye = np.array([0.05, 0.02 * i - 0.07, 0.03])
+    pose = look_at(eye, eye + np.array([1.0, 0.0, 0.0]),
+                   np.array([0.0, 0.0, 1.0])).astype(np.float32)
+    poses.append(pose)
+    b = face_slope_bounds(pose, K, (tcfg.crop, tcfg.crop), 0, 1.0,
+                          crop_xy=(4, 4))
+    assert b is not None
+    bounds.append(b)
+images = jnp.asarray(rng.uniform(0, 1, (D, H, W, 3)), jnp.float32)
+crops = jnp.asarray(np.full((D, 2), 4), jnp.int32)
+keep = jnp.asarray(camera_keep_mask(np.stack(poses), mcfg.grid_res,
+                                    tcfg.cam_carve, mcfg.scale))
+step = make_swr_sharded_step(
+    mcfg, tcfg, mesh, axis=0, flip=False, inside=True,
+    with_sigma_keep=True, with_slope_bounds=True,
+)
+batch = shard_swr_batch(
+    mesh, images, jnp.asarray(np.stack(poses)),
+    jnp.asarray(np.stack([K] * D)), crops,
+)
+sb = shard_swr_batch(mesh, jnp.asarray(np.stack(bounds)))[0]
+state, metrics = step(state, *batch, keep, sb)
+assert np.isfinite(float(metrics["loss"])), metrics
+p = state.params["levels"][0]
+shards = [np.asarray(s.data) for s in p.addressable_shards]
+for s in shards[1:]:
+    np.testing.assert_array_equal(shards[0], s)
+print("swr-sharded-inside-ok")
+"""
+    res = _run_cpu(code)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "swr-sharded-inside-ok" in res.stdout
