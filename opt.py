@@ -119,6 +119,12 @@ def get_opts(prefix_args=None):
                         help="open the interactive viewer after training")
     parser.add_argument("--val_only", action="store_true", default=False,
                         help="skip training; evaluate a checkpoint")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="write a jax.profiler (XProf/TensorBoard) "
+                             "trace of the training loop here, and print "
+                             "per-phase wall-clock with the telemetry; "
+                             "'' disables (no reference counterpart — "
+                             "SURVEY.md §5 tracing is greenfield)")
     # deployment
     parser.add_argument("--deployment", action="store_true", default=False)
     parser.add_argument("--deployment_model_path", type=str, default="./")

@@ -71,6 +71,9 @@ class Trainer:
         self._pending_counts_max = None
         self._pending_rm_samples = None
         self._pack_shrink_votes = 0
+        # opt-in phase accounting (utils/profiling.py); adds a per-step
+        # host readback to attribute device time to the right phase
+        self.timer = None
 
     def _adapt_sample_cap(self):
         """Resize the marching/packing buckets from the last step's counts."""
@@ -110,13 +113,33 @@ class Trainer:
     def run_step(self):
         cfg = self.cfg
         if self.step % cfg.train.update_interval == 0:
-            self.state = density_grid_step(
-                self.state, cfg, warmup=self.step < cfg.train.warmup_steps
-            )
+            if self.timer is not None:
+                with self.timer.phase(
+                    "grid_update",
+                    sync=lambda: np.asarray(
+                        self.state.occupancy.bitfield
+                    )[0],
+                ):
+                    self.state = density_grid_step(
+                        self.state, cfg,
+                        warmup=self.step < cfg.train.warmup_steps,
+                    )
+            else:
+                self.state = density_grid_step(
+                    self.state, cfg, warmup=self.step < cfg.train.warmup_steps
+                )
             self._adapt_sample_cap()
-        self.state, metrics = train_step(
-            self.state, self.data, cfg, self.sample_cap, self.pack_cap
-        )
+        if self.timer is not None:
+            with self.timer.phase("train_step"):
+                self.state, metrics = train_step(
+                    self.state, self.data, cfg, self.sample_cap,
+                    self.pack_cap,
+                )
+                float(metrics["loss"])  # host sync (tunnel-safe)
+        else:
+            self.state, metrics = train_step(
+                self.state, self.data, cfg, self.sample_cap, self.pack_cap
+            )
         self._pending_counts_max = metrics["counts_max"]
         self._pending_rm_samples = metrics["rm_samples"]
         self.step += 1
@@ -141,4 +164,6 @@ class Trainer:
                     f"vr_s={float(m['vr_samples']) / n_rays:.1f} | "
                     f"S={self.sample_cap}"
                 )
+                if self.timer is not None and step > 0:
+                    self.log_fn(f"phases: {self.timer.summary(reset=True)}")
         return metrics

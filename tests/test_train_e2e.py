@@ -22,6 +22,8 @@ def scene():
 
 @pytest.fixture(scope="module")
 def trained(scene, tiny_config):
+    from taichi_nerfs_tpu.utils.profiling import PhaseTimer
+
     trainer = Trainer(
         tiny_config,
         scene.as_batch(),
@@ -29,6 +31,7 @@ def trained(scene, tiny_config):
         scene.img_wh,
         log_fn=lambda *_: None,
     )
+    trainer.timer = PhaseTimer()  # --profile_dir wiring (loop phases)
     first = None
     for _ in range(300):
         m = trainer.run_step()
@@ -41,6 +44,16 @@ def trained(scene, tiny_config):
 def test_loss_decreases(trained):
     _, first, last = trained
     assert last < first * 0.5, (first, last)
+
+
+def test_phase_timer_attributed(trained):
+    """--profile_dir's phase accounting: both loop phases were timed."""
+    trainer, _, _ = trained
+    assert trainer.timer.calls["train_step"] == 300
+    assert trainer.timer.calls["grid_update"] > 0
+    assert trainer.timer.seconds["train_step"] > 0
+    s = trainer.timer.summary()
+    assert "train_step" in s and "grid_update" in s
 
 
 def test_render_matches_ground_truth(trained, scene, tiny_config):

@@ -103,3 +103,35 @@ def test_orbit_camera():
     assert cam.radius < 3.0
     cam.reset(poses[1])
     np.testing.assert_allclose(cam.rot, poses[1][:3, :3])
+
+
+def test_phase_timer_and_trace(tmp_path):
+    """PhaseTimer accumulates per-phase wall-clock (with an optional sync
+    hook) and trace() writes a jax.profiler dir; both no-op gracefully."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from taichi_nerfs_tpu.utils.profiling import PhaseTimer, trace
+
+    pt = PhaseTimer()
+    synced = []
+    with pt.phase("a"):
+        _time.sleep(0.01)
+    with pt.phase("b", sync=lambda: synced.append(1)):
+        pass
+    assert pt.calls["a"] == 1 and pt.calls["b"] == 1
+    assert pt.seconds["a"] >= 0.01
+    assert synced == [1]
+    s = pt.summary(reset=True)
+    assert "a 1x" in s and "%" in s
+    assert not pt.seconds  # reset cleared
+
+    # trace: no-op when dir is falsy
+    with trace(""):
+        pass
+    # real trace produces profiler artifacts
+    d = tmp_path / "prof"
+    with trace(str(d)):
+        float(jnp.ones(8).sum())
+    assert any(d.rglob("*")), "no trace artifacts written"

@@ -63,8 +63,14 @@ def main():
     trainer.step = start_step
 
     if not hparams.val_only:
+        from taichi_nerfs_tpu.utils.profiling import PhaseTimer, trace
+
+        profile_dir = getattr(hparams, "profile_dir", "")
+        if profile_dir:
+            trainer.timer = PhaseTimer()
         tic = time.time()
-        trainer.fit(hparams.max_steps)
+        with trace(profile_dir):
+            trainer.fit(hparams.max_steps)
         print(f"training done in {time.time() - tic:.1f}s")
 
     if hparams.deployment:
@@ -180,8 +186,11 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         trainer.load_npz(hparams.ckpt_path)
         print(f"loaded pyramid checkpoint from {hparams.ckpt_path}")
     if not hparams.val_only:
+        from taichi_nerfs_tpu.utils.profiling import trace
+
         tic = time.time()
-        trainer.fit(hparams.max_steps)
+        with trace(getattr(hparams, "profile_dir", "")):
+            trainer.fit(hparams.max_steps)
         print(f"training done in {time.time() - tic:.1f}s")
 
     os.makedirs(val_dir, exist_ok=True)
