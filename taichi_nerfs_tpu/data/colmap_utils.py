@@ -4,6 +4,20 @@ Rebuild of ``datasets/colmap_utils.py`` (ETH-licensed readers in the
 reference): ``cameras.bin`` / ``images.bin`` / ``points3D.bin`` plus text
 variants and quaternion helpers.  Pure numpy/struct, format per the COLMAP
 ``src/base/reconstruction.cc`` writers.
+
+The parser structure (namedtuples, per-record struct layouts, function
+names) descends from COLMAP's canonical ``scripts/python/read_write_model.py``:
+
+  Copyright (c) 2022, ETH Zurich and UNC Chapel Hill.  All rights reserved.
+  Author: Johannes L. Schoenberger (jsch-at-demuc-dot-de)
+  Redistribution and use in source and binary forms, with or without
+  modification, are permitted provided that the conditions of COLMAP's
+  BSD-style license (https://colmap.github.io/license.html) are met.
+  THIS SOFTWARE IS PROVIDED BY THE COPYRIGHT HOLDERS AND CONTRIBUTORS
+  "AS IS" WITHOUT WARRANTY OF ANY KIND.
+
+The binary format dictates the field-by-field reads; the reference repo
+retains the same attribution (``/root/reference/datasets/colmap_utils.py:1-31``).
 """
 
 from __future__ import annotations

@@ -6,6 +6,17 @@ autodiff flows through it for free (the reference's hand-rolled
 ``DirEncoder.backward`` returned an unpopulated grad, a defect we do not
 replicate).  Also provides the polynomial ``eval_sh`` used by the voxel-grid
 model (``modules/sh_utils.py:58-113``).
+
+The SH basis constants and the ``eval_sh`` polynomial derive from the
+PlenOctree codebase (the same lineage the reference's ``sh_utils.py``
+retains):
+
+  Copyright 2021 PlenOctree Authors.  Redistribution and use in source
+  and binary forms, with or without modification, are permitted provided
+  the conditions of the PlenOctree BSD 2-Clause license are met
+  (https://github.com/sxyu/plenoctree/blob/master/LICENSE).
+  THIS SOFTWARE IS PROVIDED BY THE COPYRIGHT HOLDERS AND CONTRIBUTORS
+  "AS IS" WITHOUT WARRANTY OF ANY KIND.
 """
 
 from __future__ import annotations
