@@ -9,8 +9,8 @@ the resample matmuls' MXU roofline.  This kernel fuses one whole *chunk*
 * grid = (n_chunks, dc); slabs stream HBM -> VMEM (auto-pipelined block),
 * the two per-slab affine resamples are MXU matmuls against hat-function
   interpolation matrices built in-register from scalar (start, step) pairs
-  (``ops/warp.py:interp_matrix`` semantics, bf16 operands / fp32 accum —
-  the same precision XLA's DEFAULT f32 dot uses on TPU),
+  (``ops/warp.py:interp_matrix`` semantics); operand dtype is threaded
+  from the caller's ``resample_dtype``, fp32 accumulation either way,
 * the composite carry (accumulated features, depth, transmittance-log tau)
   lives in VMEM for the whole chunk — zero HBM carry traffic,
 * the backward pass is a single *reverse* sweep per chunk (no remat, no
@@ -20,14 +20,17 @@ the resample matmuls' MXU roofline.  This kernel fuses one whole *chunk*
   ``U_k = (1-a_k) U_{k+1} + a_k phi_k`` so ``dL/da_k = T_k (phi_k - U_{k+1})``.
 
 Scope (the flagship train/bench configuration — ``render_swr_fixed_axis``
-falls back to the XLA scan otherwise): outside camera, deferred shading,
-unsplit grid, no distortion accumulation, full-matmul resample
-(slab_window == 0), no slab skipping.
+dispatches here on TPU and falls back to the XLA scan otherwise): outside
+camera, deferred shading, unsplit grid, no distortion accumulation,
+full-matmul resample (slab_window == 0), no slab skipping.
 
-Layouts: the slab volume enters as ``(n_chunks, dc, Rb, F, Rc)`` so every
-matmul is 2-D with dense (sublane, lane) = (F, Rc) minor tiles; the chunk
-frames come out as ``(n_chunks, nq, F+2, nq)`` with channels
-``[acc(F-1) | depth | opacity | tau]``.
+Layouts are **channel-leading** everywhere: the slab volume enters as
+``(n_chunks, dc, F, Rb, Rc)`` and the chunk frames leave as
+``(n_chunks, F+2, nq, nq)`` with channels ``[acc(F-1) | depth | opacity |
+tau]`` on the leading axis.  Every per-channel access is then a major-dim
+index and every vector op runs on dense ``(nq, nq)``/(Rb, Rc)`` minor
+tiles — a channel-in-the-middle layout costs a Mosaic relayout per slab
+(measured ~5x the kernel's whole compute budget).
 
 Reference behavior being matched: the per-slab composite of
 ``modules/volume_train.py:6-48`` restructured object-order (slabs instead
@@ -37,12 +40,27 @@ of ray samples), with the dt/t_ray geometry of ``render/swr.py``.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _compiler_params(interpret: bool):
+    # the backward holds fwd-frame + grad-frame blocks alongside the slab
+    # pipeline; the conservative 16 MB default scoped-VMEM limit is too
+    # small at flagship sizes (v5e/v5p have 128 MiB physical VMEM)
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+
+def _iota_f32(shape, dim):
+    # Mosaic's tpu.iota is integer-only; cast after
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+        jnp.float32
+    )
 
 
 def _hat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -51,62 +69,58 @@ def _hat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def _interp_T(start, step, nq: int, n: int, dtype):
     """(nq, n) interpolation matrix W[i, m] = hat(m - (start + i*step))."""
-    i = jax.lax.broadcasted_iota(jnp.float32, (nq, n), 0)
-    m = jax.lax.broadcasted_iota(jnp.float32, (nq, n), 1)
+    i = _iota_f32((nq, n), 0)
+    m = _iota_f32((nq, n), 1)
     return _hat(m, start + i * step).astype(dtype)
 
 
 def _interp(start, step, n: int, nq: int, dtype):
     """(n, nq) interpolation matrix W[m, i] = hat(m - (start + i*step))."""
-    m = jax.lax.broadcasted_iota(jnp.float32, (n, nq), 0)
-    i = jax.lax.broadcasted_iota(jnp.float32, (n, nq), 1)
+    m = _iota_f32((n, nq), 0)
+    i = _iota_f32((n, nq), 1)
     return _hat(m, start + i * step).astype(dtype)
 
 
-def _resample_slab(vol, rs, nq: int, Rb: int, F: int, Rc: int):
-    """vol (Rb, F, Rc) -> lattice (nq, F, nq) via two MXU matmuls."""
-    start_b, step_b, start_c, step_c = rs
-    wbt = _interp_T(start_b, step_b, nq, Rb, jnp.bfloat16)  # (nq, Rb)
-    wc = _interp(start_c, step_c, Rc, nq, jnp.bfloat16)  # (Rc, nq)
-    x1 = jnp.dot(
-        wbt,
-        vol.reshape(Rb, F * Rc).astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # (nq, F*Rc)
-    x2 = jnp.dot(
-        x1.reshape(nq * F, Rc).astype(jnp.bfloat16),
-        wc,
-        preferred_element_type=jnp.float32,
-    )  # (nq*F, nq)
-    return x2.reshape(nq, F, nq)
+def _geom(chp, nq: int):
+    """Per-chunk ray geometry on the lattice.
 
-
-def _geom(chp, zrel, nq: int):
-    """Per-chunk ray geometry on the lattice: dt (step length) and t_ray."""
+    Returns ``dt`` (step length) and ``tb = norm / va`` (the per-ray
+    depth factor: ``t_ray = z_rel * tb``).  Both are chunk constants —
+    kernels compute them once at slab 0 and park them in scratch.
+    """
     b0r, db, c0r, dcc, va, h = (
         chp[0], chp[1], chp[2], chp[3], chp[4], chp[5],
     )
-    vb = b0r + db * jax.lax.broadcasted_iota(jnp.float32, (nq, nq), 0)
-    vc = c0r + dcc * jax.lax.broadcasted_iota(jnp.float32, (nq, nq), 1)
+    vb = b0r + db * _iota_f32((nq, nq), 0)
+    vc = c0r + dcc * _iota_f32((nq, nq), 1)
     norm = jnp.sqrt(va * va + vb * vb + vc * vc)
     dt = h * norm / jnp.abs(va)
-    t_ray = zrel * norm / va
-    return dt, t_ray
+    tb = norm / va
+    return dt, tb
+
+
+def _scalars(ref, s):
+    """Per-slab (start_b, step_b, start_c, step_c) from SMEM."""
+    return tuple(ref[0, s, k] for k in range(4))
 
 
 def _fwd_kernel(
-    rs_ref,  # SMEM (1, 1, 4): per-slab resample params
-    zrel_ref,  # SMEM (1, 1): z_k - o_a
-    chp_ref,  # SMEM (1, 6): per-chunk [b0-o_b, db, c0-o_c, dc, va, h]
-    vol_ref,  # VMEM (1, 1, Rb, F, Rc)
-    out_ref,  # VMEM (1, nq, F+2, nq)
-    tau_ref,  # scratch (nq, nq)
+    rs_ref,  # SMEM (1, dc, 4): per-slab resample params
+    zrel_ref,  # SMEM (1, 1, dc): z_k - o_a
+    chp_ref,  # SMEM (1, 1, 6): per-chunk [b0-o_b, db, c0-o_c, dc, va, h]
+    vol_ref,  # VMEM (1, 1, F, Rb, Rc)
+    out_ref,  # VMEM (1, F+2, nq, nq)
+    tau_ref,  # scratch (nq, nq): accumulated sigma*dt (bwd resume point)
+    t_ref,  # scratch (nq, nq): running transmittance (multiplicative)
+    dt_ref,  # scratch (nq, nq): per-chunk step length
+    tb_ref,  # scratch (nq, nq): per-chunk depth factor norm/va
     *,
     nq: int,
     dc: int,
     Rb: int,
     F: int,
     Rc: int,
+    dtype,
 ):
     s = pl.program_id(1)
 
@@ -114,56 +128,93 @@ def _fwd_kernel(
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
         tau_ref[...] = jnp.zeros_like(tau_ref)
+        t_ref[...] = jnp.ones_like(t_ref)
+        chp = tuple(chp_ref[0, 0, k] for k in range(6))
+        dt, tb = _geom(chp, nq)
+        dt_ref[...] = dt
+        tb_ref[...] = tb
 
-    chp = chp_ref[0]
-    rs = rs_ref[0, 0]
-    x2 = _resample_slab(vol_ref[0, 0], rs, nq, Rb, F, Rc)
-    sigma = jnp.maximum(x2[:, 0, :], 0.0)
-    dt, t_ray = _geom(chp, zrel_ref[0, 0], nq)
-    sdt = sigma * dt
-    a = 1.0 - jnp.exp(-sdt)
-    t = jnp.exp(-tau_ref[...])
-    w = a * t
-    out_ref[0, :, 0 : F - 1, :] += w[:, None, :] * x2[:, 1:, :]
-    out_ref[0, :, F - 1, :] += w * t_ray
+    start_b, step_b, start_c, step_c = _scalars(rs_ref, s)
+    wbt = _interp_T(start_b, step_b, nq, Rb, dtype)  # (nq, Rb)
+    wc = _interp(start_c, step_c, Rc, nq, dtype)  # (Rc, nq)
+
+    def resample(f):
+        x1 = jnp.dot(
+            wbt,
+            vol_ref[0, 0, f].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )  # (nq, Rc)
+        return jnp.dot(
+            x1.astype(dtype), wc, preferred_element_type=jnp.float32
+        )  # (nq, nq)
+
+    sigma = jnp.maximum(resample(0), 0.0)
+    sdt = sigma * dt_ref[...]
+    one_m_a = jnp.exp(-sdt)
+    t = t_ref[...]
+    w = (1.0 - one_m_a) * t
+    for f in range(1, F):
+        out_ref[0, f - 1] += w * resample(f)
+    out_ref[0, F - 1] += w * (zrel_ref[0, 0, s] * tb_ref[...])
+    t_ref[...] = t * one_m_a
     tau_ref[...] += sdt
 
     @pl.when(s == dc - 1)
     def _():
-        tau = tau_ref[...]
-        out_ref[0, :, F, :] = 1.0 - jnp.exp(-tau)
-        out_ref[0, :, F + 1, :] = tau
+        out_ref[0, F] = 1.0 - t_ref[...]
+        out_ref[0, F + 1] = tau_ref[...]
 
 
 def _bwd_kernel(
-    rs_ref,  # SMEM (1, 1, 4) — reversed slab order
-    zrel_ref,  # SMEM (1, 1) — reversed
-    chp_ref,  # SMEM (1, 6)
-    vol_ref,  # VMEM (1, 1, Rb, F, Rc) — reversed
-    g_ref,  # VMEM (1, nq, F+2, nq): upstream frame grads
-    fr_ref,  # VMEM (1, nq, F+2, nq): forward frames (for tau_N)
-    dvol_ref,  # VMEM out (1, 1, Rb, F, Rc) — reversed
+    rs_ref,  # SMEM (1, dc, 4): per-slab resample params
+    zrel_ref,  # SMEM (1, 1, dc)
+    chp_ref,  # SMEM (1, 1, 6)
+    vol_ref,  # VMEM (1, 1, F, Rb, Rc) — reversed slab order
+    g_ref,  # VMEM (1, F+2, nq, nq): upstream frame grads
+    fr_ref,  # VMEM (1, F+2, nq, nq): forward frames (for tau_N)
+    dvol_ref,  # VMEM out (1, 1, F, Rb, Rc) — reversed
     tau_ref,  # scratch (nq, nq): tau at the *end* of the unprocessed prefix
     u_ref,  # scratch (nq, nq): normalized downstream suffix U_{k+1}
+    dt_ref,  # scratch (nq, nq): per-chunk step length
+    tb_ref,  # scratch (nq, nq): per-chunk depth factor norm/va
     *,
     nq: int,
     dc: int,
     Rb: int,
     F: int,
     Rc: int,
+    dtype,
 ):
     s = pl.program_id(1)
+    sr = dc - 1 - s  # the slab this program processes (reverse sweep)
 
     @pl.when(s == 0)
     def _():
-        tau_ref[...] = fr_ref[0, :, F + 1, :]
+        tau_ref[...] = fr_ref[0, F + 1]
         u_ref[...] = jnp.zeros_like(u_ref)
+        chp = tuple(chp_ref[0, 0, k] for k in range(6))
+        dt, tb = _geom(chp, nq)
+        dt_ref[...] = dt
+        tb_ref[...] = tb
 
-    chp = chp_ref[0]
-    rs = rs_ref[0, 0]
-    x2 = _resample_slab(vol_ref[0, 0], rs, nq, Rb, F, Rc)
-    sigma = jnp.maximum(x2[:, 0, :], 0.0)
-    dt, t_ray = _geom(chp, zrel_ref[0, 0], nq)
+    start_b, step_b, start_c, step_c = _scalars(rs_ref, sr)
+    wbt = _interp_T(start_b, step_b, nq, Rb, dtype)  # (nq, Rb)
+    wc = _interp(start_c, step_c, Rc, nq, dtype)  # (Rc, nq)
+
+    def resample(f):
+        x1 = jnp.dot(
+            wbt,
+            vol_ref[0, 0, f].astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.dot(
+            x1.astype(dtype), wc, preferred_element_type=jnp.float32
+        )
+
+    x2_sigma = resample(0)
+    sigma = jnp.maximum(x2_sigma, 0.0)
+    dt = dt_ref[...]
+    t_ray = zrel_ref[0, 0, sr] * tb_ref[...]
     sdt = sigma * dt
     one_m_a = jnp.exp(-sdt)
     a = 1.0 - one_m_a
@@ -172,153 +223,175 @@ def _bwd_kernel(
     t_k = jnp.exp(-tau_k)
     w = a * t_k
 
-    g_acc = g_ref[0, :, 0 : F - 1, :]  # (nq, F-1, nq)
-    g_dep = g_ref[0, :, F - 1, :]
-    g_op = g_ref[0, :, F, :]
-    phi = (
-        jnp.sum(x2[:, 1:, :] * g_acc, axis=1) + t_ray * g_dep + g_op
-    )
+    g_dep = g_ref[0, F - 1]
+    g_op = g_ref[0, F]
+    g_tau = g_ref[0, F + 1]
+    phi = t_ray * g_dep + g_op
+    feats = []
+    for f in range(1, F):
+        xf = resample(f)
+        feats.append(xf)
+        phi += xf * g_ref[0, f - 1]
     da = t_k * (phi - u_ref[...])
-    dsigma = da * one_m_a * dt
+    # tau_N = sum_k sigma_k dt_k is linear in sigma: d tau/d sigma_k = dt
+    dsigma = da * one_m_a * dt + g_tau * dt
     # d x2: sigma channel (clamp subgradient) + weighted feature channels
-    dx2_sigma = jnp.where(x2[:, 0, :] > 0.0, dsigma, 0.0)
-    dx2 = jnp.concatenate(
-        [dx2_sigma[:, None, :], w[:, None, :] * g_acc], axis=1
-    )  # (nq, F, nq)
+    dx2_sigma = jnp.where(x2_sigma > 0.0, dsigma, 0.0)
 
-    # transposed resamples back to the slab
-    start_b, step_b, start_c, step_c = rs
-    wct = _interp_T(start_c, step_c, nq, Rc, jnp.bfloat16)  # (nq, Rc)
-    wb = _interp(start_b, step_b, Rb, nq, jnp.bfloat16)  # (Rb, nq)
-    dx1 = jnp.dot(
-        dx2.reshape(nq * F, nq).astype(jnp.bfloat16),
-        wct,
-        preferred_element_type=jnp.float32,
-    )  # (nq*F, Rc)
-    dvol = jnp.dot(
-        wb,
-        dx1.reshape(nq, F * Rc).astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # (Rb, F*Rc)
-    dvol_ref[0, 0] = dvol.reshape(Rb, F, Rc)
+    # transposed resamples back to the slab: dvol = wb @ (dx2 @ wct)
+    wct = _interp_T(start_c, step_c, nq, Rc, dtype)  # (nq, Rc)
+    wb = _interp(start_b, step_b, Rb, nq, dtype)  # (Rb, nq)
+
+    def back(dx2, f):
+        t = jnp.dot(
+            dx2.astype(dtype), wct, preferred_element_type=jnp.float32
+        )  # (nq, Rc)
+        dvol_ref[0, 0, f] = jnp.dot(
+            wb, t.astype(dtype), preferred_element_type=jnp.float32
+        )  # (Rb, Rc)
+
+    back(dx2_sigma, 0)
+    for f in range(1, F):
+        back(w * g_ref[0, f - 1], f)
 
     # carry updates for the next (earlier) slab
     tau_ref[...] = tau_k
     u_ref[...] = one_m_a * u_ref[...] + a * phi
 
 
-def _fwd_call(vol_cs, rs_par, z_rel, ch_par, *, nq, interpret):
-    n_chunks, dc, Rb, F, Rc = vol_cs.shape
+# SMEM blocks cover the full trailing axes (Mosaic requires the last two
+# block dims to equal the array's); per-slab scalars are read with a
+# dynamic index inside the kernel
+def _smem_specs(dc: int):
+    return [
+        pl.BlockSpec(
+            (1, dc, 4), lambda c, s: (c, 0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, dc), lambda c, s: (c, 0, 0), memory_space=pltpu.SMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, 6), lambda c, s: (c, 0, 0), memory_space=pltpu.SMEM
+        ),
+    ]
+
+
+def _fwd_call(vol_cs, rs_par, z_rel, ch_par, *, nq, dtype, interpret):
+    n_chunks, dc, F, Rb, Rc = vol_cs.shape
     kernel = functools.partial(
-        _fwd_kernel, nq=nq, dc=dc, Rb=Rb, F=F, Rc=Rc
+        _fwd_kernel, nq=nq, dc=dc, Rb=Rb, F=F, Rc=Rc, dtype=dtype
     )
     return pl.pallas_call(
         kernel,
         grid=(n_chunks, dc),
-        in_specs=[
+        in_specs=_smem_specs(dc)
+        + [
             pl.BlockSpec(
-                (1, 1, 4), lambda c, s: (c, s, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1), lambda c, s: (c, s), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 6), lambda c, s: (c, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, Rb, F, Rc), lambda c, s: (c, s, 0, 0, 0),
+                (1, 1, F, Rb, Rc), lambda c, s: (c, s, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, nq, F + 2, nq), lambda c, s: (c, 0, 0, 0),
+            (1, F + 2, nq, nq), lambda c, s: (c, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (n_chunks, nq, F + 2, nq), jnp.float32
+            (n_chunks, F + 2, nq, nq), jnp.float32
         ),
-        scratch_shapes=[pltpu.VMEM((nq, nq), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((nq, nq), jnp.float32) for _ in range(4)
+        ],
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(rs_par, z_rel, ch_par, vol_cs)
+    )(rs_par, z_rel[:, None, :], ch_par[:, None, :], vol_cs)
 
 
-def _bwd_call(vol_cs, rs_par, z_rel, ch_par, frames, g, *, nq, interpret):
-    n_chunks, dc, Rb, F, Rc = vol_cs.shape
+def _bwd_call(
+    vol_cs, rs_par, z_rel, ch_par, frames, g, *, nq, dtype, interpret
+):
+    n_chunks, dc, F, Rb, Rc = vol_cs.shape
     kernel = functools.partial(
-        _bwd_kernel, nq=nq, dc=dc, Rb=Rb, F=F, Rc=Rc
+        _bwd_kernel, nq=nq, dc=dc, Rb=Rb, F=F, Rc=Rc, dtype=dtype
     )
-    rev = lambda c, s: (c, dc - 1 - s, 0)  # noqa: E731
-    rev2 = lambda c, s: (c, dc - 1 - s)  # noqa: E731
     return pl.pallas_call(
         kernel,
         grid=(n_chunks, dc),
-        in_specs=[
-            pl.BlockSpec((1, 1, 4), rev, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), rev2, memory_space=pltpu.SMEM),
+        in_specs=_smem_specs(dc)
+        + [
             pl.BlockSpec(
-                (1, 6), lambda c, s: (c, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, Rb, F, Rc),
+                (1, 1, F, Rb, Rc),
                 lambda c, s: (c, dc - 1 - s, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, nq, F + 2, nq), lambda c, s: (c, 0, 0, 0),
+                (1, F + 2, nq, nq), lambda c, s: (c, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, nq, F + 2, nq), lambda c, s: (c, 0, 0, 0),
+                (1, F + 2, nq, nq), lambda c, s: (c, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, Rb, F, Rc),
+            (1, 1, F, Rb, Rc),
             lambda c, s: (c, dc - 1 - s, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(vol_cs.shape, jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((nq, nq), jnp.float32),
-            pltpu.VMEM((nq, nq), jnp.float32),
+            pltpu.VMEM((nq, nq), jnp.float32) for _ in range(4)
         ],
+        compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(rs_par, z_rel, ch_par, vol_cs, g, frames)
+    )(rs_par, z_rel[:, None, :], ch_par[:, None, :], vol_cs, g, frames)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def chunk_sweep(
-    vol_cs: jnp.ndarray,  # (n_chunks, dc, Rb, F, Rc) f32
+    vol_cs: jnp.ndarray,  # (n_chunks, dc, F, Rb, Rc) f32
     rs_par: jnp.ndarray,  # (n_chunks, dc, 4) f32
     z_rel: jnp.ndarray,  # (n_chunks, dc) f32
     ch_par: jnp.ndarray,  # (n_chunks, 6) f32
     nq: int,
+    dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Composite every chunk's slabs into per-chunk frames.
 
-    Returns (n_chunks, nq, F+2, nq) frames with channels
-    ``[acc features (F-1) | depth | opacity | tau]``.  Only ``vol_cs``
-    carries gradient (the resample/geometry params are camera functions,
-    reference hash_encoder.py:264-279 treats positions the same way).
+    Returns (n_chunks, F+2, nq, nq) frames with channels
+    ``[acc features (F-1) | depth | opacity | tau]``.
+
+    Differentiability: only ``vol_cs`` carries gradient.  ``rs_par``,
+    ``z_rel``, ``ch_par`` are camera functions and are NOT differentiable
+    through this op — the VJP returns zero cotangents for them (the
+    reference treats sample positions the same way,
+    hash_encoder.py:264-279).  Callers optimizing camera parameters must
+    not route their gradient through this kernel.  All four output
+    channels carry gradient, including ``tau`` (``d tau/d sigma_k = dt``).
+
+    ``dtype`` is the resample-matmul operand dtype; pass ``jnp.float32``
+    to mirror the XLA path's default ``resample_dtype='float32'`` (on v5e
+    both run as bf16 MXU passes; the distinction matters on hardware with
+    true fp32 passes).
     """
     return _fwd_call(
-        vol_cs, rs_par, z_rel, ch_par, nq=nq, interpret=interpret
+        vol_cs, rs_par, z_rel, ch_par, nq=nq, dtype=dtype,
+        interpret=interpret,
     )
 
 
-def _sweep_fwd(vol_cs, rs_par, z_rel, ch_par, nq, interpret):
+def _sweep_fwd(vol_cs, rs_par, z_rel, ch_par, nq, dtype, interpret):
     frames = _fwd_call(
-        vol_cs, rs_par, z_rel, ch_par, nq=nq, interpret=interpret
+        vol_cs, rs_par, z_rel, ch_par, nq=nq, dtype=dtype,
+        interpret=interpret,
     )
     return frames, (vol_cs, rs_par, z_rel, ch_par, frames)
 
 
-def _sweep_bwd(nq, interpret, res, g):
+def _sweep_bwd(nq, dtype, interpret, res, g):
     vol_cs, rs_par, z_rel, ch_par, frames = res
     dvol = _bwd_call(
-        vol_cs, rs_par, z_rel, ch_par, frames, g, nq=nq,
+        vol_cs, rs_par, z_rel, ch_par, frames, g, nq=nq, dtype=dtype,
         interpret=interpret,
     )
     return (

@@ -65,6 +65,7 @@ from ..ops.warp import (
         "want_distortion",
         "inside",
         "near",
+        "sweep_impl",
     ),
 )
 def render_swr_fixed_axis(
@@ -89,6 +90,7 @@ def render_swr_fixed_axis(
     inside: bool = False,
     slope_bounds: jnp.ndarray | None = None,
     near: float = 0.0,
+    sweep_impl: str = "auto",
 ) -> Dict[str, jnp.ndarray]:
     """Render with a statically chosen sweep axis/direction.
 
@@ -137,6 +139,14 @@ def render_swr_fixed_axis(
             camera's other side are masked out of the composite, and the
             global reference plane sits between the camera and the
             face's cube wall instead of at the cube center.
+        sweep_impl: slab-sweep implementation.  "auto" uses the fused
+            Pallas chunk kernel (:func:`taichi_nerfs_tpu.ops.swr_pallas.
+            chunk_sweep`) on TPU whenever the call is in its scope
+            (deferred shading, unsplit grid, outside camera, no
+            distortion, full-matmul resample, no slab skip) and the XLA
+            ``lax.scan`` otherwise; "xla" forces the scan; "pallas"
+            forces the kernel (asserts scope); "pallas_interpret" runs
+            the kernel in interpreter mode (CPU tests).
     """
     s = cfg.scale
     R = cfg.grid_res
@@ -537,11 +547,102 @@ def render_swr_fixed_axis(
     if split:
         xs["s"] = vol_s_c
         xs["zs"] = zs_s_c
+
+    # slab-sweep dispatch: the fused Pallas chunk kernel covers the
+    # flagship train/bench configuration (ops/swr_pallas.py docstring);
+    # everything else runs the XLA scan
+    pallas_scope = (
+        cfg.deferred
+        and not split
+        and not inside
+        and not want_distortion
+        and not debug_frames
+        and slab_window == 0
+        and not skip_empty
+    )
+    if sweep_impl == "auto":
+        use_pallas = pallas_scope and jax.default_backend() == "tpu"
+        pallas_interp = False
+    elif sweep_impl in ("pallas", "pallas_interpret"):
+        assert pallas_scope, (
+            "sweep_impl=pallas requires deferred shading, an unsplit "
+            "grid, an outside camera, no distortion, slab_window=0 and "
+            "skip_empty=False"
+        )
+        use_pallas = True
+        pallas_interp = sweep_impl == "pallas_interpret"
+    else:
+        assert sweep_impl == "xla", f"unknown sweep_impl {sweep_impl!r}"
+        use_pallas = False
+
+    if use_pallas:
+        from ..ops.swr_pallas import chunk_sweep
+
+        # per-chunk reference planes + lattice frames, vectorized over
+        # chunks (same math as chunk_body's scalar path)
+        z_ref_c = jnp.mean(zs_c, axis=1)  # (n_chunks,)
+        fb0_c, fdb_c, fc0_c, fdc_c = frame_at(z_ref_c)
+        # per-slab resample params (resample_to_lattice's start/step)
+        rho = (z_ref_c[:, None] - o_a) / (zs_c - o_a)  # (n_chunks, dc)
+        rs_par = jnp.stack(
+            [
+                (o_b + (fb0_c[:, None] - o_b) / rho + s) / h - 0.5,
+                fdb_c[:, None] / (rho * h),
+                (o_c + (fc0_c[:, None] - o_c) / rho + s) / h - 0.5,
+                fdc_c[:, None] / (rho * h),
+            ],
+            axis=-1,
+        )  # (n_chunks, dc, 4)
+        z_rel = zs_c - o_a
+        ch_par = jnp.stack(
+            [
+                fb0_c - o_b,
+                fdb_c,
+                fc0_c - o_c,
+                fdc_c,
+                z_ref_c - o_a,
+                jnp.full_like(z_ref_c, h),
+            ],
+            axis=-1,
+        )  # (n_chunks, 6)
+        frames = chunk_sweep(
+            vol_c, rs_par, z_rel, ch_par, nq, rs_dtype, pallas_interp
+        )  # (n_chunks, F+2, nq, nq)
+
+        def fold_body(carry, inp):
+            acc_g, depth_g, t_g = carry
+            packed = inp["fr"][: acc_ch + 2]
+            z_ref = inp["z"]
+            f_b0, f_db, f_c0, f_dc = inp["fb"]
+            rho_cg = (z_ref - o_a) / _safe(z_g - o_a)
+            start_b = (o_b * (1 - rho_cg) + g_b0 * rho_cg - f_b0) / f_db
+            step_b = g_db * rho_cg / f_db
+            start_c = (o_c * (1 - rho_cg) + g_c0 * rho_cg - f_c0) / f_dc
+            step_c = g_dc * rho_cg / f_dc
+            packed = resample_matmul(packed, start_b, step_b, nq, axis=1)
+            packed = resample_matmul(packed, start_c, step_c, nq, axis=2)
+            acc_g = acc_g + t_g[..., None] * jnp.moveaxis(
+                packed[:acc_ch], 0, -1
+            )
+            depth_g = depth_g + t_g * packed[acc_ch]
+            t_g = t_g * (1.0 - packed[acc_ch + 1])
+            return (acc_g, depth_g, t_g), None
+
+        (acc_g, depth_g, t_g), _ = jax.lax.scan(
+            fold_body,
+            init_g,
+            {
+                "fr": frames,
+                "z": z_ref_c,
+                "fb": (fb0_c, fdb_c, fc0_c, fdc_c),
+            },
+        )
+        chunk_dbg = None
     # no outer remat: the slab scan inside is already checkpointed, so the
     # per-chunk residuals are just the (nq, nq) frame images — cheap to
     # store, and re-running the whole slab sweep in backward would double
     # the heavy work
-    if want_distortion:
+    elif want_distortion:
         (acc_g, depth_g, t_g, dist_g), chunk_dbg = jax.lax.scan(
             chunk_body, init_g, xs
         )

@@ -81,6 +81,10 @@ class SwrTrainConfig:
     # cameras move through free space (DVGO/F2-NeRF use the same prior).
     # 0 = off
     cam_carve: float = 0.0
+    # slab-sweep implementation (render/swr.py render_swr_fixed_axis):
+    # "auto" = fused Pallas chunk kernel on TPU when in scope, XLA scan
+    # otherwise; "xla" / "pallas" / "pallas_interpret" force a path
+    sweep_impl: str = "auto"
 
 
 class SwrTrainState(NamedTuple):
@@ -237,6 +241,7 @@ def make_swr_loss(
             near=tcfg.near,
             warp=warp,
             slope_bounds=slope_bounds,
+            sweep_impl=tcfg.sweep_impl,
         )
         rgb_pred = out["rgb"]
         if tcfg.random_bg:
