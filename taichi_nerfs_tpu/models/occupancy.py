@@ -162,6 +162,8 @@ def update_density_grid(
     erode: bool = False,
     chunk: int = 4 * 1024 * 1024,
     all_cells: tuple | None = None,
+    cell_shard: tuple | None = None,
+    tmp_reduce=None,
 ) -> OccupancyGrid:
     """EMA density refresh + bitfield repack (reference: networks.py:255-290).
 
@@ -172,6 +174,16 @@ def update_density_grid(
         all_cells: optional (coords, indices) device arrays for the warmup
             path.  Pass these as *runtime* arguments — embedding the 2M-cell
             tables as HLO literals OOM-kills the XLA compile helper.
+        cell_shard: optional ``(shard_idx, n_shards)`` — evaluate only the
+            ``shard_idx``-th 1/n_shards slice of each cascade's sampled
+            cells (the multi-chip grid refresh: every chip draws the SAME
+            cell set + jitter from the shared key, takes a disjoint slice,
+            and the partial ``tmp`` grids max-reduce with ``tmp_reduce``).
+            The union over shards equals the single-chip evaluation
+            exactly, so sharded == single-chip bitwise.
+        tmp_reduce: optional fn applied to the scatter-max density probe
+            grid before the EMA merge (multi-chip: ``lax.pmax`` over the
+            data axis).
     """
     g = cfg.grid_size
     g3 = g**3
@@ -206,16 +218,31 @@ def update_density_grid(
         xyzs_w = (coords.astype(jnp.float32) / (g - 1) * 2.0 - 1.0) * (
             s - half_grid_size
         )
+        # jitter drawn at full size BEFORE any shard slice so every shard
+        # sees the same per-cell perturbation as the single-chip path
         noise = jax.random.uniform(
             k_n, xyzs_w.shape, minval=-1.0, maxval=1.0
         )
         xyzs_w = xyzs_w + noise * half_grid_size
+
+        if cell_shard is not None:
+            shard_idx, n_shards = cell_shard
+            n_cells = xyzs_w.shape[0]
+            assert n_cells % n_shards == 0, (
+                f"{n_cells} cells not divisible by {n_shards} shards"
+            )
+            k = n_cells // n_shards
+            start = jnp.asarray(shard_idx, jnp.int32) * k
+            xyzs_w = jax.lax.dynamic_slice_in_dim(xyzs_w, start, k)
+            indices = jax.lax.dynamic_slice_in_dim(indices, start, k)
 
         sigmas = _chunked(
             lambda x: density_fn(params, cfg, x), xyzs_w, chunk
         )
         tmp = tmp.at[c, indices].max(sigmas)
 
+    if tmp_reduce is not None:
+        tmp = tmp_reduce(tmp)
     if erode:
         # decay more the cells seen by few cameras (networks.py:278-280)
         decay_arr = jnp.clip(

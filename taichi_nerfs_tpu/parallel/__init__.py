@@ -3,6 +3,8 @@ from .shard import (  # noqa: F401
     make_sharded_train_step,
     shard_batch,
     shard_state,
+    sharded_density_grid_step,
+    sharded_train_step,
 )
 from .swr_shard import (  # noqa: F401
     make_swr_sharded_step,

@@ -103,6 +103,7 @@ def render_train(
     key: jax.Array,
     sample_cap: int,
     pack_cap: int | None = None,
+    t_noise: jnp.ndarray | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Differentiable train-time render (reference: rendering.py:161-228).
 
@@ -112,11 +113,19 @@ def render_train(
     ``pack_cap`` (static): when set, the field is evaluated only at the
     first ``pack_cap`` valid samples (stream compaction) instead of the
     whole dense (N, S) grid.
+
+    ``t_noise``: optional (N,) uniform draws for the t-start perturbation
+    (reference ray_march.py:38-40), overriding the internal draw from
+    ``key``.  The sharded step passes a slice of the full batch's noise
+    so an N-way data-parallel step reproduces the single-chip step
+    bitwise (parallel/shard.py).
     """
     n = rays_o.shape[0]
     k_noise, k_bg = jax.random.split(key)
     hits_t = ray_aabb_intersect(rays_o, rays_d, mcfg.scale)
-    noise = jax.random.uniform(k_noise, (n,))
+    noise = (
+        jax.random.uniform(k_noise, (n,)) if t_noise is None else t_noise
+    )
     t_start = perturb_t_start(
         hits_t, noise, rcfg.exp_step_factor, mcfg.grid_size, mcfg.scale
     )

@@ -47,16 +47,33 @@ class Trainer:
         img_wh,
         state: Optional[TrainState] = None,
         log_fn=print,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — trains data-parallel
+        over its ``data`` axis (``--num_devices``, parallel/shard.py):
+        the ray batch shards across chips, gradients pmean over ICI, and
+        the occupancy refresh fans its probe cells out with a pmax
+        reduction.  The sharded step reproduces the single-chip step's
+        batch bitwise (tests/test_sharding.py pins the equivalence)."""
         self.cfg = cfg
         self.data = data
         self.log_fn = log_fn
+        self.mesh = mesh
         self.state = state if state is not None else create_train_state(cfg)
         # one-time camera-visibility marking (reference: train.py:129-133)
         occupancy = jax.jit(
             mark_invisible_cells, static_argnames=("cfg", "img_wh")
         )(self.cfg.model, K, data.poses, tuple(img_wh))
         self.state = self.state._replace(occupancy=occupancy)
+        if mesh is not None:
+            from ..parallel.shard import shard_batch, shard_state
+
+            assert cfg.train.batch_size % mesh.devices.size == 0, (
+                f"batch_size {cfg.train.batch_size} not divisible by "
+                f"the {mesh.devices.size}-device mesh"
+            )
+            self.state = shard_state(self.state, mesh)
+            self.data = shard_batch(self.data, mesh)
         self.sample_cap = cfg.render.train_sample_cap
         # packed field eval from step 0: warmup batches measure ~180-300
         # samples/ray on synthetic scenes, far below the dense S=1024 slab.
@@ -110,9 +127,31 @@ class Trainer:
         if self.pack_cap is not None and self.pack_cap >= n_dense:
             self.pack_cap = None
 
+    def _grid_step(self, warmup: bool):
+        if self.mesh is not None:
+            from ..parallel.shard import sharded_density_grid_step
+
+            return sharded_density_grid_step(
+                self.state, self.cfg, self.mesh, warmup
+            )
+        return density_grid_step(self.state, self.cfg, warmup)
+
+    def _train_step(self):
+        if self.mesh is not None:
+            from ..parallel.shard import sharded_train_step
+
+            return sharded_train_step(
+                self.state, self.data, self.cfg, self.mesh,
+                self.sample_cap, self.pack_cap,
+            )
+        return train_step(
+            self.state, self.data, self.cfg, self.sample_cap, self.pack_cap
+        )
+
     def run_step(self):
         cfg = self.cfg
         if self.step % cfg.train.update_interval == 0:
+            warmup = self.step < cfg.train.warmup_steps
             if self.timer is not None:
                 with self.timer.phase(
                     "grid_update",
@@ -120,26 +159,16 @@ class Trainer:
                         self.state.occupancy.bitfield
                     )[0],
                 ):
-                    self.state = density_grid_step(
-                        self.state, cfg,
-                        warmup=self.step < cfg.train.warmup_steps,
-                    )
+                    self.state = self._grid_step(warmup)
             else:
-                self.state = density_grid_step(
-                    self.state, cfg, warmup=self.step < cfg.train.warmup_steps
-                )
+                self.state = self._grid_step(warmup)
             self._adapt_sample_cap()
         if self.timer is not None:
             with self.timer.phase("train_step"):
-                self.state, metrics = train_step(
-                    self.state, self.data, cfg, self.sample_cap,
-                    self.pack_cap,
-                )
+                self.state, metrics = self._train_step()
                 float(metrics["loss"])  # host sync (tunnel-safe)
         else:
-            self.state, metrics = train_step(
-                self.state, self.data, cfg, self.sample_cap, self.pack_cap
-            )
+            self.state, metrics = self._train_step()
         self._pending_counts_max = metrics["counts_max"]
         self._pending_rm_samples = metrics["rm_samples"]
         self.step += 1

@@ -53,12 +53,29 @@ def main():
         state, start_step = load_checkpoint(hparams.ckpt_path, state)
         print(f"Load checkpoint from {hparams.ckpt_path} (step {start_step})")
 
+    # --num_devices: 0 = all visible devices, 1 = single-chip path,
+    # N>1 = data-parallel mesh over the first N (parallel/shard.py)
+    import jax
+
+    n_dev = getattr(hparams, "num_devices", 1) or len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from taichi_nerfs_tpu.parallel import make_mesh
+
+        assert len(jax.devices()) >= n_dev, (
+            f"--num_devices {n_dev} but only {len(jax.devices())} "
+            "devices visible"
+        )
+        mesh = make_mesh(n_dev)
+        print(f"training data-parallel over a {n_dev}-device mesh")
+
     trainer = Trainer(
         cfg,
         train_dataset.as_batch(),
         train_dataset.K,
         train_dataset.img_wh,
         state=state,
+        mesh=mesh,
     )
     trainer.step = start_step
 
