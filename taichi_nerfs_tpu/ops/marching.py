@@ -18,13 +18,16 @@ The TPU-native design is **probe-everything, then compact**:
 3.  ``lax.top_k`` compacts the first ``S`` occupied candidates per ray into
     a dense ``(N, S)`` sample grid + counts.
 
-Fidelity: for constant-dt scenes (``exp_step_factor == 0``, all synthetic
-runs) the reference's skip logic advances by integer multiples of ``dt``, so
-its entire trajectory lives on the same lattice — the probe marcher selects
-*exactly* the same sample set (``ray_march.py:45-74``).  For exponential
-stepping the lattice phase after a skip differs slightly (the reference
-re-steps from the DDA boundary), but the sampling density in occupied space
-— ``calc_dt(t)`` everywhere — is identical.
+Fidelity (pinned by the serial oracle in ``tests/test_march.py``): the
+reference never leaves the iterated ``t += calc_dt(t)`` lattice — its DDA
+skip advances by ``calc_dt`` increments until it clears the cell boundary
+(``ray_march.py:71-74``) — so in BOTH step regimes the closed-form lattice
+reproduces its trajectory and the probe marcher visits exactly the
+reference's probe points.  The one divergence is *in our favor*: the
+reference's skip target uses the continuous cell coordinate, not the cell
+floor (``ray_march.py:68-70``), overshooting the boundary by up to one
+cell and skipping straight over occupied cells; the probe marcher samples
+those too, so its sample set is a strict superset of the reference's.
 
 The same marcher serves training (fresh ``t`` from the AABB hit, perturbed
 first sample, ``ray_march.py:38-40``) and the test renderer (resumable:
