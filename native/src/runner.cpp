@@ -48,9 +48,12 @@ int main(int argc, char** argv) {
   std::string out = argv[2];
   float orbit = 0;
   int threads = 0;
+  int bench = 0;  // --bench N: time N warm frames on an orbit (fps record
+                  // vs the reference's mobile demos, README.md:74-76)
   for (int i = 3; i + 1 < argc; i += 2) {
     if (!std::strcmp(argv[i], "--orbit")) orbit = std::strtof(argv[i + 1], nullptr);
     if (!std::strcmp(argv[i], "--threads")) threads = std::atoi(argv[i + 1]);
+    if (!std::strcmp(argv[i], "--bench")) bench = std::atoi(argv[i + 1]);
   }
 
   try {
@@ -69,23 +72,42 @@ int main(int argc, char** argv) {
         tnerf::FlatJson(dir + "/config.json").Str("model", "ngp");
     std::vector<float> img;
     int w = 0, h = 0;
-    auto t0 = std::chrono::steady_clock::now();
+    auto render_with = [&](auto& model, const std::array<float, 12>& p) {
+      img = model.Render(p, threads);
+      w = model.config().width;
+      h = model.config().height;
+    };
+    auto run = [&](auto& model) {
+      auto t0 = std::chrono::steady_clock::now();
+      render_with(model, pose);
+      auto ms = std::chrono::duration_cast<std::chrono::milliseconds>(
+                    std::chrono::steady_clock::now() - t0)
+                    .count();
+      std::fprintf(stderr, "rendered %dx%d in %lld ms (%.1f fps)\n", w, h,
+                   static_cast<long long>(ms),
+                   1000.0 / static_cast<double>(ms));
+      if (bench > 0) {
+        // warm per-frame timing on an orbit (camera moves every frame,
+        // like the reference's mobile demo loop)
+        auto b0 = std::chrono::steady_clock::now();
+        for (int f = 0; f < bench; ++f)
+          render_with(model, RotateY(pose, 360.0f * f / bench));
+        double bms =
+            std::chrono::duration_cast<std::chrono::milliseconds>(
+                std::chrono::steady_clock::now() - b0)
+                .count() /
+            static_cast<double>(bench);
+        std::fprintf(stderr, "bench %d frames: %.1f ms/frame (%.2f fps)\n",
+                     bench, bms, 1000.0 / bms);
+      }
+    };
     if (family == "pyramid") {
       tnerf::PyramidModel model(dir);
-      img = model.Render(pose, threads);
-      w = model.config().width;
-      h = model.config().height;
+      run(model);
     } else {
       tnerf::NgpModel model(dir);
-      img = model.Render(pose, threads);
-      w = model.config().width;
-      h = model.config().height;
+      run(model);
     }
-    auto ms = std::chrono::duration_cast<std::chrono::milliseconds>(
-                  std::chrono::steady_clock::now() - t0)
-                  .count();
-    std::fprintf(stderr, "rendered %dx%d in %lld ms (%.1f fps)\n", w, h,
-                 static_cast<long long>(ms), 1000.0 / static_cast<double>(ms));
 
     if (out.size() > 4 && out.substr(out.size() - 4) == ".bmp")
       tnerf::WriteBmp(out, img, w, h);
