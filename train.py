@@ -228,7 +228,12 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
     psnrs, ssims = [], []
     for i in range(len(test_dataset)):
         sample = test_dataset[i]
-        out = trainer.render(sample["pose"], K=None, img_wh=(w, h))
+        # quality eval renders uncapped: the 1.25R lattice cap is the
+        # interactive-fps knob and costs ~1.8 dB on crisp content at
+        # 800^2 (tests/test_swr.py::test_swr_lat_cap_quality)
+        out = trainer.render(
+            sample["pose"], K=None, img_wh=(w, h), lat_cap=None
+        )
         if "rgb" in sample:
             gt = np.asarray(sample["rgb"])
             rgb = np.asarray(out["rgb"])
