@@ -47,7 +47,7 @@ def main():
         log_fn=lambda *a, **k: None,
     )
     # settle grid + caps like a real run
-    for _ in range(80):
+    for _ in range(40):
         m = trainer.run_step()
     float(m["loss"])
     sample_cap, pack_cap = trainer.sample_cap, trainer.pack_cap
@@ -114,7 +114,7 @@ def main():
     # whole step through the Trainer (optimizer + metrics + grid cadence;
     # train_step donates its state, so time the carried loop)
     del state
-    n = 60
+    n = 40
     t0 = time.perf_counter()
     for _ in range(n):
         m = trainer.run_step()

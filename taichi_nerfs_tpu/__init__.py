@@ -11,6 +11,29 @@ scaling via jax.sharding.
 import os as _os
 
 
+def compile_cache_dir() -> str:
+    """Persistent-cache directory, keyed by the host's CPU feature set.
+
+    XLA:CPU cache entries embed machine features at compile time; if the
+    container migrates to a host with a different CPU, reloading a stale
+    entry can SIGILL/abort the process.  Keying the directory by a hash of
+    the cpuinfo flags turns that into a clean cache miss.  (TPU entries are
+    keyed by the platform inside XLA, so sharing a dir per-host is fine.)
+    """
+    base = _os.environ.get("TNERF_COMPILE_CACHE", "/tmp/jax_cache")
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (ln for ln in f if ln.startswith("flags")), ""
+            )
+        import hashlib
+
+        tag = hashlib.sha1(flags.encode()).hexdigest()[:8]
+        return f"{base}-{tag}"
+    except OSError:
+        return base
+
+
 def _setup_compilation_cache():
     """Persistent XLA compilation cache: repeat invocations of the CLI /
     bench / tests skip recompiles (30-120 s each on a tunneled TPU).
@@ -19,10 +42,7 @@ def _setup_compilation_cache():
         return
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("TNERF_COMPILE_CACHE", "/tmp/jax_cache"),
-    )
+    jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

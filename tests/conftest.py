@@ -31,8 +31,12 @@ import pytest  # noqa: E402
 # does (a down tunnel otherwise hangs/fails CPU-only tests).
 jax.config.update("jax_platforms", "cpu")
 
-# persistent XLA compilation cache: repeat pytest runs skip recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# persistent XLA compilation cache: repeat pytest runs skip recompiles.
+# The dir is keyed by host CPU features (see compile_cache_dir) so a
+# container migration can't reload foreign-machine XLA:CPU executables.
+from taichi_nerfs_tpu import compile_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from taichi_nerfs_tpu.config import (  # noqa: E402

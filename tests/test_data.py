@@ -161,3 +161,35 @@ def test_colmap_to_transforms(tmp_path):
     # loadable by the NGP dataset
     ds = NGPDataset(str(tmp_path), split="train", downsample=1.0)
     assert len(ds) == 3
+
+
+def test_nsvf_export_roundtrip(tmp_path):
+    """export_nsvf_dataset -> NSVFDataset loads back the same scene.
+
+    Pins the pose normalization inverse (bbox b = 0.5/1.05 makes the
+    loader's divisor exactly 1) and the 800-equivalent focal scaling, so
+    quality runs can drive the real disk loader on procedural scenes."""
+    from taichi_nerfs_tpu.data.nsvf_export import export_nsvf_dataset
+
+    src_tr = SyntheticSphereDataset(n_images=3, img_wh=(64, 64))
+    src_te = SyntheticSphereDataset(
+        n_images=2, img_wh=(64, 64), split="test"
+    )
+    root = str(tmp_path / "Synthetic_NSVF" / "legoproxy")
+    export_nsvf_dataset(
+        root, {"train": src_tr, "test": src_te}
+    )
+    ds = NSVFDataset(root, split="train", downsample=64 / 800)
+    assert ds.img_wh == (64, 64)
+    assert ds.rays.shape == src_tr.rays.shape
+    np.testing.assert_allclose(ds.poses, src_tr.poses, atol=1e-6)
+    np.testing.assert_allclose(ds.K, src_tr.K, atol=1e-4)
+    np.testing.assert_allclose(ds.directions, src_tr.directions, atol=1e-5)
+    # images round-trip through 8-bit quantization
+    err = np.abs(
+        ds.rays.reshape(-1, 3) - src_tr.rays.reshape(-1, 3)
+    ).max()
+    assert err <= 1.0 / 255.0 + 1e-6
+    ds_te = NSVFDataset(root, split="test", downsample=64 / 800)
+    assert ds_te.rays.shape == src_te.rays.shape
+    np.testing.assert_allclose(ds_te.poses, src_te.poses, atol=1e-6)

@@ -22,7 +22,9 @@ def _run_cpu(code: str):
     # mesh — share the persistent compile cache so repeat runs are warm
     prelude = (
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
-        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')\n"
+        "from taichi_nerfs_tpu import compile_cache_dir\n"
+        "jax.config.update("
+        "'jax_compilation_cache_dir', compile_cache_dir())\n"
         "jax.config.update("
         "'jax_persistent_cache_min_compile_time_secs', 0.5)\n"
     )
