@@ -1,17 +1,31 @@
 """Benchmark: steady-state training throughput, flagship + parity paths.
 
-Prints ONE JSON line.  Baseline: the reference trains Lego (batch 8192,
-20000 steps) in 208 s on an RTX 3090 (README.md:33-37) — an effective
-training throughput of 8192 * 20000 / 208 = 787,692 rays/s.
+Prints ONE JSON line per completed stage, flushed immediately — the last
+line is the full record.  (Round-2 verdict: a single print at the very end
+lost BOTH numbers when the parity leg overran the driver budget; the
+flagship line now lands the moment it is measured.)
 
-Two tracked numbers (VERDICT r1: "the bench should report both paths"):
+Baseline: the reference trains Lego (batch 8192, 20000 steps) in 208 s on
+an RTX 3090 (README.md:33-37) — an effective training throughput of
+8192 * 20000 / 208 = 787,692 rays/s.
+
+Tracked numbers:
 
 * ``value`` (headline): the dense shear-warp flagship
   (docs/shear_warp.md) — a 256^3x8 feature pyramid trained on 256^2
   image crops; every train-step op is dense streaming or an MXU matmul.
 * ``parity_rays_per_sec``: the reference-architecture sample-gather path
-  (hash-NGP + occupancy marching + packed field eval) at the reference's
-  batch 8192, including the amortized density-grid refresh cadence.
+  (multires-grid NGP + occupancy marching + packed field eval) at the
+  reference's batch 8192, including the amortized density-grid refresh
+  cadence, through the adaptive Trainer exactly as ``train.py`` runs it.
+  Encoder: the TPU-native brick layout (``config_for_scene``'s flagship;
+  one row-gather per sample-level).  The reference's exact scalar-gather
+  hash-table layout stays available (``--encoder_type hash``) but is
+  gather-issue-rate-bound at ~113M rows/s on v5e — 128 rows/sample puts
+  its ceiling at ~6K rays/s regardless of the surrounding pipeline
+  (docs/status_r3.md has the measurements).
+* ``parity_warmup_step_s``: per-step wall in the dense-warmup regime
+  (round-2 verdict gate: < 2 s; round 2 shipped 11.7 s).
 
 The scene is the built-in procedural high-frequency checker solid (no
 dataset download needed).
@@ -23,41 +37,23 @@ import json
 import os
 import time
 
-import jax
 import numpy as np
 
-
-def bench_parity(scene) -> float:
-    """Steady-state rays/s of the sample-gather (reference-parity) path:
-    default flagship NGP config, batch 8192, through Trainer.run_step —
-    adaptive sample/pack caps and the 1/16-cadence grid refresh included,
-    exactly the cost profile of ``train.py --model_name ngp``."""
-    from taichi_nerfs_tpu.config import Config
-    from taichi_nerfs_tpu.train.loop import Trainer
-
-    cfg = Config()
-    trainer = Trainer(
-        cfg,
-        scene.as_batch(),
-        scene.K,
-        scene.img_wh,
-        log_fn=lambda *a, **k: None,
-    )
-    for _ in range(80):  # warmup: grid cadence, cap adaptation, compiles
-        m = trainer.run_step()
-    float(m["loss"])
-    n_timed = 120
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
-        m = trainer.run_step()
-    float(m["loss"])
-    return cfg.train.batch_size * n_timed / (time.perf_counter() - t0)
+BASELINE = 8192 * 20000 / 208.0  # reference Lego rays/s (README.md:33-37)
+T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("TNERF_BENCH_BUDGET", 540))
 
 
-def main():
+def _elapsed() -> float:
+    return time.perf_counter() - T0
+
+
+def _emit(record: dict) -> None:
+    print(json.dumps(record), flush=True)
+
+
+def make_scene():
     from taichi_nerfs_tpu.data.synthetic import SyntheticSphereDataset
-    from taichi_nerfs_tpu.models.pyramid import PyramidConfig
-    from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
 
     # throughput bench: gt content only feeds the loss value, so a few
     # coarse views suffice (quality runs use scripts/eval_deferred.py)
@@ -73,6 +69,12 @@ def main():
             n_images=8, img_wh=(256, 256), variant="checker", n_steps=256
         )
         np.savez(cache, rays=scene.rays, poses=scene.poses)
+    return scene
+
+
+def bench_flagship(scene) -> float:
+    from taichi_nerfs_tpu.models.pyramid import PyramidConfig
+    from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
 
     # deferred shading measured quality-parity with per-sample shading
     # (scripts/eval_deferred.py: 24.6 vs 24.7 eval PSNR on this scene)
@@ -91,28 +93,77 @@ def main():
         m = trainer.run_step()
     float(m["loss"])  # host readback: the only reliable sync on a tunnel
 
-    n_timed = 200
+    n_timed = 200 if _elapsed() < BUDGET_S - 180 else 60
     t0 = time.perf_counter()
     for _ in range(n_timed):
         m = trainer.run_step()
     float(m["loss"])
-    elapsed = time.perf_counter() - t0
+    return tcfg.crop**2 * n_timed / (time.perf_counter() - t0)
 
-    rays_per_sec = tcfg.crop**2 * n_timed / elapsed
-    parity_rays = bench_parity(scene)
-    baseline = 8192 * 20000 / 208.0  # reference Lego throughput
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / baseline, 3),
-                "parity_rays_per_sec": round(parity_rays, 1),
-                "parity_vs_baseline": round(parity_rays / baseline, 3),
-            }
-        )
+
+def bench_parity(scene):
+    """Steady-state rays/s of the sample-gather (reference-parity) path:
+    flagship NGP config, batch 8192, through Trainer.run_step — adaptive
+    sample/pack caps and the 1/16-cadence grid refresh included, exactly
+    the cost profile of ``train.py``.  Returns (rays_per_sec,
+    warmup_step_s)."""
+    from taichi_nerfs_tpu.config import config_for_scene
+    from taichi_nerfs_tpu.train.loop import Trainer
+
+    cfg = config_for_scene(0.5)
+    trainer = Trainer(
+        cfg,
+        scene.as_batch(),
+        scene.K,
+        scene.img_wh,
+        log_fn=lambda *a, **k: None,
     )
+    m = trainer.run_step()  # step 0: the big compile
+    float(m["loss"])
+    # dense-warmup regime cost (verdict gate: < 2 s/step)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        m = trainer.run_step()
+    float(m["loss"])
+    warmup_step_s = (time.perf_counter() - t0) / 8
+
+    # settle: grid sparsification + cap adaptation (compiles new buckets)
+    n_settle = 55 if _elapsed() < BUDGET_S - 150 else 23
+    for _ in range(n_settle):
+        m = trainer.run_step()
+    float(m["loss"])
+
+    remaining = BUDGET_S - _elapsed() - 15.0
+    n_timed = int(max(16, min(64, remaining / max(warmup_step_s * 0.6, 0.05))))
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        m = trainer.run_step()
+    float(m["loss"])
+    rays = cfg.train.batch_size * n_timed / (time.perf_counter() - t0)
+    return rays, warmup_step_s
+
+
+def main():
+    scene = make_scene()
+    flagship = bench_flagship(scene)
+    record = {
+        "metric": "train_rays_per_sec",
+        "value": round(flagship, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(flagship / BASELINE, 3),
+        "parity_rays_per_sec": None,
+        "parity_vs_baseline": None,
+        "parity_warmup_step_s": None,
+    }
+    _emit(record)  # flagship lands even if the parity leg is cut off
+
+    parity, warmup_step_s = bench_parity(scene)
+    record.update(
+        parity_rays_per_sec=round(parity, 1),
+        parity_vs_baseline=round(parity / BASELINE, 3),
+        parity_warmup_step_s=round(warmup_step_s, 3),
+    )
+    _emit(record)
 
 
 if __name__ == "__main__":

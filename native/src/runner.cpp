@@ -78,14 +78,17 @@ int main(int argc, char** argv) {
       h = model.config().height;
     };
     auto run = [&](auto& model) {
+      // microsecond clock: sub-millisecond frames (small models / many
+      // threads) would divide by a truncated-to-zero millisecond count
       auto t0 = std::chrono::steady_clock::now();
       render_with(model, pose);
-      auto ms = std::chrono::duration_cast<std::chrono::milliseconds>(
-                    std::chrono::steady_clock::now() - t0)
-                    .count();
-      std::fprintf(stderr, "rendered %dx%d in %lld ms (%.1f fps)\n", w, h,
-                   static_cast<long long>(ms),
-                   1000.0 / static_cast<double>(ms));
+      double ms =
+          std::chrono::duration_cast<std::chrono::microseconds>(
+              std::chrono::steady_clock::now() - t0)
+              .count() /
+          1000.0;
+      std::fprintf(stderr, "rendered %dx%d in %.2f ms (%.1f fps)\n", w, h,
+                   ms, ms > 0.0 ? 1000.0 / ms : 0.0);
       if (bench > 0) {
         // warm per-frame timing on an orbit (camera moves every frame,
         // like the reference's mobile demo loop)
@@ -93,12 +96,12 @@ int main(int argc, char** argv) {
         for (int f = 0; f < bench; ++f)
           render_with(model, RotateY(pose, 360.0f * f / bench));
         double bms =
-            std::chrono::duration_cast<std::chrono::milliseconds>(
+            std::chrono::duration_cast<std::chrono::microseconds>(
                 std::chrono::steady_clock::now() - b0)
                 .count() /
-            static_cast<double>(bench);
-        std::fprintf(stderr, "bench %d frames: %.1f ms/frame (%.2f fps)\n",
-                     bench, bms, 1000.0 / bms);
+            (1000.0 * static_cast<double>(bench));
+        std::fprintf(stderr, "bench %d frames: %.2f ms/frame (%.2f fps)\n",
+                     bench, bms, bms > 0.0 ? 1000.0 / bms : 0.0);
       }
     };
     if (family == "pyramid") {

@@ -42,6 +42,11 @@ def get_opts(prefix_args=None):
                              "faster steps, much faster compile) or "
                              "'per_sample' (shade every slab sample, the "
                              "reference's semantics)")
+    parser.add_argument("--pyramid_levels", type=str, default="",
+                        help="pyramid model: comma-separated level "
+                             "resolutions (default 32,64,128,256); e.g. "
+                             "32,64,128,256,512 for the R=512 quality "
+                             "config")
     parser.add_argument("--features", type=int, default=16,
                         help="pyramid model: channels per pyramid level "
                              "(1 density + F-1 appearance).  Measured on "

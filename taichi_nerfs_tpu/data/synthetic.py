@@ -495,7 +495,10 @@ class SyntheticSphereDataset(BaseDataset):
             # without dwarfing training time (reference protocol: NSVF
             # test split, nsvf.py:79-92)
             n_images = max(8, min(25, n_images // 4))
-        if downsample != 1.0:
+        if spec and downsample != 1.0:
+            # rescale only on the synthetic:// (NSVF-compat CLI) path;
+            # direct constructor callers pass the exact resolution they
+            # want and historically got it unscaled
             img_wh = (
                 int(img_wh[0] * downsample),
                 int(img_wh[1] * downsample),

@@ -286,19 +286,31 @@ def _fwd(params, xyz, layout):
     return out, (idx, xyz)
 
 
+def _level_weights(xyz: jnp.ndarray, lv: int, layout: BrickGridLayout):
+    """Trilinear corner weights of one level: (M, 8) in c-major order."""
+    scale = layout.base_res * math.exp(lv * layout.log_b) - 1.0
+    pos = xyz * scale + 0.5  # (M, 3)
+    frac = pos - jnp.floor(pos)
+    wx = jnp.stack([1.0 - frac[:, 0], frac[:, 0]], axis=-1)  # (M, 2)
+    wy = jnp.stack([1.0 - frac[:, 1], frac[:, 1]], axis=-1)
+    wz = jnp.stack([1.0 - frac[:, 2], frac[:, 2]], axis=-1)
+    return (
+        wz[:, :, None, None] * wy[:, None, :, None] * wx[:, None, None, :]
+    ).reshape(xyz.shape[0], 8)
+
+
 def _bwd(layout, res, dout):
     idx, xyz = res
     M = idx.shape[0]
     L, F = layout.levels, layout.F
-    _, w8 = _cell_and_weights(xyz, layout)
-    # rows are c-major (c0f0 c0f1 ... c7f(F-1)); d(weighted)[k, c*F+f] =
-    # dout[k, f] -> tile the F-block 8 times
-    drows = jnp.tile(dout.reshape(M * L, F), (1, 8))
-    dweighted = drows * _wexp(w8, layout)  # (M*L, 8F)
-    dtable = jnp.zeros(
-        (layout.n_rows, layout.row_width), jnp.float32
-    ).at[idx.reshape(-1)].add(dweighted)
-    # split back: dense levels reduce bricks -> corners; hashed pass through
+    # scatter-add PER LEVEL into a (rows_lv, 8F) target: XLA's scatter rate
+    # on this chip is ~7x higher when the target fits VMEM (measured on
+    # v5e: 4.2M rows into (800K, 32) = 8M rows/s, into (131072, 32) =
+    # 58M rows/s), so one scatter per level beats one scatter into the
+    # concatenated table.  Level ranges are disjoint by construction.
+    # Each level's operand is rebuilt from narrow (M, F)/(M, 8) slices so
+    # no (M, L, 8F) intermediate materializes (its (lv, 8F) minor dims pad
+    # to (8, 128) tiles -> a 128x HBM blowup at warmup scale).
     dcorners = jnp.zeros((layout.n_corner_params, layout.F), jnp.float32)
     hashed_rows = sum(
         r for r, d in zip(layout.rows, layout.dense) if not d
@@ -308,7 +320,16 @@ def _bwd(layout, res, dout):
     for lv in range(layout.levels):
         off = layout.offsets[lv]
         n = layout.rows[lv]
-        d_lv = dtable[off : off + n]
+        # rows are c-major (c0f0 ... c0f(F-1) c1f0 ...):
+        # d(weighted)[k, c*F+f] = dout[k, lv*F+f] * w8[k, c]
+        dw = jnp.repeat(
+            _level_weights(xyz, lv, layout), F, axis=1
+        ) * jnp.tile(dout[:, lv * F : (lv + 1) * F], (1, 8))
+        d_lv = (
+            jnp.zeros((n, layout.row_width), jnp.float32)
+            .at[idx[:, lv] - off]
+            .add(dw)
+        )
         if layout.dense[lv]:
             res_l = layout.resolutions[lv]
             cres = layout.corner_res[lv]

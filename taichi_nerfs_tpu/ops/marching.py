@@ -89,22 +89,24 @@ def num_candidates(
     return n1 + n2 + min(n3, 4096)
 
 
-def candidate_lattice(
+def lattice_at(
     t_start: jnp.ndarray,
-    n_candidates: int,
+    k: jnp.ndarray,
     exp_step_factor: float,
     grid_size: int,
     scale: float,
 ):
-    """Closed-form step lattice: (N, K) candidate ``t``s and their ``dt``s.
+    """Evaluate the closed-form step lattice at arbitrary step indices.
 
-    Reproduces iterated ``t += calc_dt(t, ...)`` (modules/utils.py:54-57)
-    without the sequential dependence.
+    ``t_start``: (N,) per-ray lattice origin; ``k``: (N, ...) float step
+    indices.  Returns (ts, dts) of ``k``'s shape.  Because the lattice is
+    closed-form, selected samples are *recomputed* from their index instead
+    of gathered from the candidate grid — random access on TPU runs at
+    ~113M elem/s while this arithmetic streams on the VPU.
     """
     dt_min = SQRT3_MAX_SAMPLES
     dt_max = SQRT3_2 * scale / grid_size
-    k = jnp.arange(n_candidates, dtype=jnp.float32)[None, :]  # (1, K)
-    t1 = t_start[:, None]  # (N, 1)
+    t1 = t_start.reshape(t_start.shape + (1,) * (k.ndim - 1))
     if exp_step_factor == 0.0:
         ts = t1 + k * dt_min
         dts = jnp.full_like(ts, dt_min)
@@ -140,6 +142,26 @@ def candidate_lattice(
     return ts, dts
 
 
+def candidate_lattice(
+    t_start: jnp.ndarray,
+    n_candidates: int,
+    exp_step_factor: float,
+    grid_size: int,
+    scale: float,
+):
+    """Closed-form step lattice: (N, K) candidate ``t``s and their ``dt``s.
+
+    Reproduces iterated ``t += calc_dt(t, ...)`` (modules/utils.py:54-57)
+    without the sequential dependence.
+    """
+    k = jnp.broadcast_to(
+        jnp.arange(n_candidates, dtype=jnp.float32)[None, :],
+        (t_start.shape[0], n_candidates),
+    )
+    return lattice_at(k=k, t_start=t_start, exp_step_factor=exp_step_factor,
+                      grid_size=grid_size, scale=scale)
+
+
 def occupancy_probe(
     xyz: jnp.ndarray,
     dt: jnp.ndarray,
@@ -165,6 +187,115 @@ def occupancy_probe(
     )
     idx = mip * (grid_size**3) + morton3d(nxyz.astype(jnp.uint32))
     return bitfield_test(bitfield, idx)
+
+
+def _march_rays_intervals(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_start: jnp.ndarray,
+    t_end: jnp.ndarray,
+    bitfield: jnp.ndarray,
+    *,
+    scale: float,
+    grid_size: int,
+    sample_cap: int,
+) -> "MarchResult":
+    """Cell-interval marcher: the single-cascade / constant-dt fast path.
+
+    The probe-everything marcher tests the occupancy grid at every lattice
+    point — ``K ~ 1032`` random bitfield probes per ray, and random access
+    on v5e runs at only ~113M elem/s (measured), so probes alone cost
+    ~64 ms/step at batch 8192.  But consecutive lattice points mostly share
+    a cell (cell diagonal / dt = 8 for the default config): probing once
+    per *crossed cell* is exact and ~4x cheaper.
+
+    1. Cell boundary crossings along the ray are 3 arithmetic sequences
+       ``t = (plane_j - o_a) / d_a`` — merged with one lane-axis sort
+       (fast on TPU: ~4 ms for (8192, 384)).
+    2. One occupancy probe per boundary interval (its midpoint's cell).
+    3. Each occupied interval expands to its ≤E lattice indices in closed
+       form (``k_lo = ceil((lo - t0)/dt)``), no gather; ``lax.top_k``
+       compacts the first S occupied candidates per ray as before.
+
+    Produces the same sample set as the lattice marcher (same dt lattice,
+    same per-sample cell occupancy test) up to float boundary ties.
+    """
+    n = rays_o.shape[0]
+    G = grid_size
+    dt = SQRT3_MAX_SAMPLES
+    h = 2.0 * scale / G  # cell edge
+    # max lattice points per cell-interval (diagonal crossing), +1 slack
+    # for ceil boundary alignment
+    E = int(math.ceil((h * math.sqrt(3.0)) / dt)) + 1
+
+    alive = t_start >= 0.0
+    t0 = jnp.where(alive, t_start, 0.0)
+    t1 = jnp.maximum(jnp.where(alive, t_end, 0.0), t0)
+
+    # interior plane crossings per axis: planes at -scale + j*h, j=1..G-1
+    j = jnp.arange(1, G, dtype=jnp.float32)  # (G-1,)
+    planes = -scale + j * h  # (G-1,)
+    inv_d = jnp.where(jnp.abs(rays_d) > 1e-12, 1.0 / rays_d, jnp.inf)
+    cross = (planes[None, None, :] - rays_o[:, :, None]) * inv_d[
+        :, :, None
+    ]  # (N, 3, G-1)
+    cross = cross.reshape(n, 3 * (G - 1))
+    inside = (cross > t0[:, None]) & (cross < t1[:, None])
+    cross = jnp.where(inside, cross, jnp.inf)
+    # append the AABB exit so the last real interval closes at t_end;
+    # pad the boundary count to a multiple of 128 lanes
+    n_b = 3 * (G - 1) + 1
+    pad = (-n_b) % 128
+    b = jnp.concatenate(
+        [cross, t1[:, None], jnp.full((n, pad), jnp.inf)], axis=1
+    )
+    b = jnp.sort(b, axis=1)  # (N, B) ascending, inf-padded
+    lo = jnp.concatenate([t0[:, None], b[:, :-1]], axis=1)  # (N, B)
+    hi = b
+
+    # one probe per interval, at the midpoint's cell (single cascade)
+    finite = jnp.isfinite(hi) & (lo < t1[:, None])
+    t_mid = jnp.where(finite, 0.5 * (lo + hi), t0[:, None])
+    xyz = rays_o[:, None, :] + t_mid[..., None] * rays_d[:, None, :]
+    nxyz = jnp.clip(0.5 * (xyz / scale + 1.0) * G, 0.0, G - 1.0)
+    cell = morton3d(nxyz.astype(jnp.uint32))
+    occ = bitfield_test(bitfield, cell) & finite & alive[:, None]
+
+    # closed-form lattice indices inside each interval (disjoint by
+    # construction: k_hi(i) == k_lo(i+1), computed by the same expression)
+    k_lo = jnp.ceil((lo - t0[:, None]) / dt)
+    k_hi = jnp.ceil((jnp.minimum(hi, t1[:, None]) - t0[:, None]) / dt)
+    count = jnp.clip(k_hi - k_lo, 0.0, float(E))
+    e = jnp.arange(E, dtype=jnp.float32)
+    ks = k_lo[:, :, None] + e[None, None, :]  # (N, B, E)
+    valid_c = (e[None, None, :] < count[:, :, None]) & occ[:, :, None]
+    B = b.shape[1]
+    ks = ks.reshape(n, B * E)
+    valid_c = valid_c.reshape(n, B * E)
+
+    # compact the first S occupied lattice points per ray (ascending k)
+    kmax = float(B * E + 2)
+    key = jnp.where(valid_c, kmax - ks, 0.0)
+    s_eff = sample_cap
+    top_keys, _ = jax.lax.top_k(key, s_eff)  # descending == ascending k
+    valid = top_keys > 0.0
+    sel = jnp.where(valid, kmax - top_keys, 0.0)
+    ts = t0[:, None] + sel * dt
+    deltas = jnp.full_like(ts, dt)
+    ts = jnp.where(valid, ts, 0.0)
+    deltas = jnp.where(valid, deltas, 0.0)
+    counts = jnp.minimum(
+        jnp.sum(valid_c, axis=1), sample_cap
+    ).astype(jnp.int32)
+
+    capped = counts >= sample_cap
+    last = jnp.maximum(counts - 1, 0)
+    t_after_cap = (
+        jnp.take_along_axis(ts, last[:, None], axis=1)[:, 0] + dt
+    )
+    t_final = jnp.where(capped, t_after_cap, t_end)
+    t_final = jnp.where(alive, t_final, t_start)
+    return MarchResult(ts=ts, deltas=deltas, counts=counts, t_final=t_final)
 
 
 @partial(
@@ -203,6 +334,23 @@ def march_rays(
         n_candidates: K, static probe-window length (defaults to a full
             AABB traversal).
     """
+    if (
+        n_candidates is None
+        and cascades == 1
+        and exp_step_factor == 0.0
+    ):
+        # full-traversal march in the single-cascade constant-dt regime:
+        # probe per crossed cell (exact, ~4x fewer bitfield probes)
+        return _march_rays_intervals(
+            rays_o,
+            rays_d,
+            t_start,
+            t_end,
+            bitfield,
+            scale=scale,
+            grid_size=grid_size,
+            sample_cap=sample_cap,
+        )
     if n_candidates is None:
         n_candidates = num_candidates(scale, exp_step_factor)
     n = rays_o.shape[0]
@@ -227,8 +375,12 @@ def march_rays(
         top_keys = jnp.pad(top_keys, ((0, 0), (0, sample_cap - s_eff)))
     valid = top_keys > 0
     sel = jnp.where(valid, K - top_keys, 0)  # (N, S) candidate indices
-    ts = jnp.take_along_axis(ts_cand, sel, axis=1)
-    deltas = jnp.take_along_axis(dts_cand, sel, axis=1)
+    # recompute ts/dts from the selected indices (closed-form lattice)
+    # instead of take_along_axis gathers: ~9 ns per gathered element on v5e
+    # makes 2x(N, S) gathers cost ~45 ms/step at the warmup shapes
+    ts, deltas = lattice_at(
+        t_start, sel.astype(jnp.float32), exp_step_factor, grid_size, scale
+    )
     ts = jnp.where(valid, ts, 0.0)
     deltas = jnp.where(valid, deltas, 0.0)
     counts = jnp.minimum(jnp.sum(occ, axis=1), sample_cap).astype(jnp.int32)

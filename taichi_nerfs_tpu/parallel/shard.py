@@ -161,12 +161,27 @@ def sharded_train_step(
     ``metrics["counts_max"]``/``rm_samples`` keep their single-chip
     meaning (global max / global sum) so the host's adaptive
     sample/pack-bucket logic (train/loop.py) works unchanged.
+
+    ``pack_cap`` is the GLOBAL packed-eval budget; each chip gets a
+    per-shard slice (global / n_dev, +50% headroom for ray-count skew,
+    pow2-ish bucketed) so the dominant field-eval phase scales with the
+    shard, not the whole batch.  Parity note: single == multi is exact
+    while no cap truncates (the equivalence tests pin that regime); when
+    samples exceed the budget, per-shard truncation drops each shard's
+    trailing samples rather than the global batch's trailing rays.
     """
     n_dev = mesh.devices.size
     assert cfg.train.batch_size % n_dev == 0, (
         f"batch_size {cfg.train.batch_size} not divisible by "
         f"{n_dev} devices"
     )
+    if pack_cap is not None:
+        from ..train.loop import _bucket
+
+        local_dense = (cfg.train.batch_size // n_dev) * sample_cap
+        pack_cap = min(_bucket(int(1.5 * pack_cap / n_dev)), local_dense)
+        if pack_cap >= local_dense:
+            pack_cap = None  # dense eval is cheaper than full-size packing
     local = partial(
         _local_train_step,
         cfg=cfg,
@@ -239,7 +254,9 @@ def sharded_density_grid_step(
     from ..models.occupancy import _all_cells
 
     g = cfg.model.grid_size
-    cache_key = (g, id(mesh))
+    # key by stable device identity, not id(mesh): a GC'd Mesh's address can
+    # be reused by a different mesh, resurrecting arrays with a dead sharding
+    cache_key = (g, tuple(d.id for d in mesh.devices.flat))
     if cache_key not in _ALL_CELLS_MESH:
         coords_np, indices_np = _all_cells(g)
         repl = NamedSharding(mesh, P())

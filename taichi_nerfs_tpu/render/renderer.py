@@ -72,8 +72,11 @@ def _eval_field_packed(
     idx_c = jnp.minimum(idx, ns - 1)
     ray_id = jnp.minimum(idx_c // s, n - 1)
     t_pk = jnp.take(march.ts.reshape(-1), idx_c)
-    o_pk = jnp.take(rays_o, ray_id, axis=0)
-    d_pk = jnp.take(rays_d, ray_id, axis=0)
+    # one row-gather for (o | d): random access is issue-rate-bound on TPU
+    # (~113M rows/s on v5e) and row width is free up to ~128B
+    od = jnp.concatenate([rays_o, rays_d], axis=1)  # (N, 6)
+    od_pk = jnp.take(od, ray_id, axis=0)
+    o_pk, d_pk = od_pk[:, :3], od_pk[:, 3:]
     xyz_pk = o_pk + t_pk[:, None] * d_pk
     sig_pk, rgb_pk = get_model(mcfg.name).forward(
         params, mcfg, xyz_pk, d_pk

@@ -569,6 +569,10 @@ def render_swr_fixed_axis(
             "grid, an outside camera, no distortion, slab_window=0 and "
             "skip_empty=False"
         )
+        assert sweep_impl != "pallas" or jax.default_backend() == "tpu", (
+            "sweep_impl='pallas' needs a TPU backend (Mosaic lowering); "
+            "use sweep_impl='pallas_interpret' on CPU/GPU"
+        )
         use_pallas = True
         pallas_interp = sweep_impl == "pallas_interpret"
     else:

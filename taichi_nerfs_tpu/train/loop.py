@@ -74,13 +74,22 @@ class Trainer:
             )
             self.state = shard_state(self.state, mesh)
             self.data = shard_batch(self.data, mesh)
-        self.sample_cap = cfg.render.train_sample_cap
-        # packed field eval from step 0: warmup batches measure ~180-300
-        # samples/ray on synthetic scenes, far below the dense S=1024 slab.
+        # Start SMALL and grow on sustained overflow (round-2 verdict: the
+        # dense-warmup regime kept S=1024/pack=2M for 40+ steps at 11.7 s
+        # each because `_adapt_sample_cap` could only shrink).  During the
+        # 256-step warmup every ray crosses mostly-occupied cells, so
+        # counts_max == S whatever S is; capping S at 256 there truncates
+        # only the first ~2% of training (the reference's own slab caps at
+        # 1024, train.py:57-58 + ray_march.py) and makes warmup steps
+        # ~5-20x cheaper.  Growth needs 2 consecutive overflowing adapts
+        # (32 steps) so the still-dense early grid doesn't balloon S.
+        self.sample_cap = min(256, cfg.render.train_sample_cap)
+        # pack sized to cover the measured warmup load (rm ~ 165
+        # samples/ray at S=256 on synthetic scenes) without truncation.
         # hard 2M-sample ceiling: the encoder's (M*L, 8F) working set at 4M
         # packed samples exceeds 16 GB HBM alongside the optimizer state
         self.pack_cap = min(
-            _next_pow2(cfg.train.batch_size * 384),
+            _bucket(cfg.train.batch_size * 192),
             cfg.train.batch_size * self.sample_cap,
             2 * 1024 * 1024,
         )
@@ -88,13 +97,19 @@ class Trainer:
         self._pending_counts_max = None
         self._pending_rm_samples = None
         self._pack_shrink_votes = 0
+        self._cap_grow_votes = 0
+        # freeze_caps: pin (sample_cap, pack_cap) — no bucket recompiles
+        # (used by bench.py to keep the measurement to one XLA program)
+        self.freeze_caps = False
         # opt-in phase accounting (utils/profiling.py); adds a per-step
         # host readback to attribute device time to the right phase
         self.timer = None
 
     def _adapt_sample_cap(self):
         """Resize the marching/packing buckets from the last step's counts."""
-        if self._pending_counts_max is None:
+        if self._pending_counts_max is None or self.freeze_caps:
+            self._pending_counts_max = None
+            self._pending_rm_samples = None
             return
         counts_max = int(self._pending_counts_max)
         rm_samples = int(self._pending_rm_samples)
@@ -102,8 +117,18 @@ class Trainer:
         self._pending_rm_samples = None
         max_cap = self.cfg.render.train_sample_cap
         if counts_max >= self.sample_cap and self.sample_cap < max_cap:
-            self.sample_cap = min(self.sample_cap * 2, max_cap)
+            # sustained overflow only, and never during the density-grid
+            # warmup: the mostly-dense warmup grid overflows ANY S (its
+            # occupancy, not the scene, sets counts_max), each grown
+            # bucket is a fresh XLA compile, and the reference itself
+            # truncates at its 1024 slab there (ray_march.py wrapper)
+            in_warmup = self.step <= self.cfg.train.warmup_steps
+            self._cap_grow_votes += 0 if in_warmup else 1
+            if self._cap_grow_votes >= 2:
+                self.sample_cap = min(self.sample_cap * 2, max_cap)
+                self._cap_grow_votes = 0
         else:
+            self._cap_grow_votes = 0
             proposed = max(_next_pow2(counts_max + 1), MIN_CAP)
             if proposed < self.sample_cap:
                 self.sample_cap = proposed

@@ -366,7 +366,15 @@ class SwrTrainer:
         K: np.ndarray,
         img_wh: Tuple[int, int],
         seed: int = 23,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — trains crop-parallel
+        data-parallel over its ``data`` axis (``--num_devices``,
+        parallel/swr_shard.py): one crop per chip, params replicated,
+        grads pmean over ICI.  The sweep's (axis, flip[, face]) are static
+        per program, so each sharded batch draws crops that share them."""
+        self.mesh = mesh
+        self._sharded_steps = {}
         self.mcfg, self.tcfg = mcfg, tcfg
         w, h = img_wh
         self.images = jnp.asarray(
@@ -452,6 +460,11 @@ class SwrTrainer:
             self.state = create_swr_state(key, pm, self.tcfg)
         else:
             self.state = grow_swr_state(self.state, pm, self.tcfg, key)
+        if self.mesh is not None:
+            from ..parallel.swr_shard import shard_swr_state
+
+            self.state = shard_swr_state(self.state, self.mesh)
+            self._sharded_steps = {}  # programs are per-phase (mcfg)
 
     def load_npz(self, path: str):
         """Load params saved by train.py's ``model_pyramid.npz`` export
@@ -489,6 +502,10 @@ class SwrTrainer:
             make_optimizer(self.tcfg).init(params),
             self.state.rng,
         )
+        if self.mesh is not None:
+            from ..parallel.swr_shard import shard_swr_state
+
+            self.state = shard_swr_state(self.state, self.mesh)
         self._grid_cache = (None, None)
 
     def run_step(self):
@@ -502,6 +519,8 @@ class SwrTrainer:
                     jax.random.PRNGKey(23), self._phase_idx + 1
                 ),
             )
+        if self.mesh is not None:
+            return self._run_step_sharded()
         w, h = self.img_wh
         c = self.tcfg.crop
         i = self._host_rng.randint(len(self.poses_np))
@@ -583,6 +602,125 @@ class SwrTrainer:
             sigma_keep=self.sigma_keep,
             slope_bounds=slope_bounds,
         )
+        self.step += 1
+        return metrics
+
+    def _run_step_sharded(self):
+        """Crop-parallel DP step: one crop per chip (parallel/swr_shard.py).
+
+        All crops in a batch share the sweep's static config — (axis,
+        flip) for outside cameras (drawn from the same dominant-axis pose
+        group), or one cubemap face of one pose for inside cameras (the
+        loss is face-masked per crop, so windows that miss the face
+        contribute zero gradient, never wrong gradient)."""
+        from ..parallel.swr_shard import (
+            make_swr_sharded_step,
+            shard_swr_batch,
+        )
+        from ..render.swr import (
+            _matmul_solve_choice,
+            face_slope_bounds,
+            pick_warp,
+        )
+
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+        w, h = self.img_wh
+        c = self.tcfg.crop
+
+        def draw_window():
+            return (
+                self._host_rng.randint(max(w - c, 0) + 1),
+                self._host_rng.randint(max(h - c, 0) + 1),
+            )
+
+        i0 = self._host_rng.randint(len(self.poses_np))
+        inside = self._inside[i0]
+        wins = [draw_window() for _ in range(n_dev)]
+        if inside:
+            idxs = [i0] * n_dev  # same pose, n_dev windows, one face
+            x0, y0 = wins[0]
+            dom, pos = self._face_map[i0]
+            st = self._face_stride
+            sd = dom[y0 // st : (y0 + c) // st + 1,
+                     x0 // st : (x0 + c) // st + 1]
+            sp = pos[y0 // st : (y0 + c) // st + 1,
+                     x0 // st : (x0 + c) // st + 1]
+            ids = (sd.astype(np.int64) * 2 + sp).ravel()
+            counts = np.bincount(ids, minlength=6).astype(np.float64)
+            face = int(self._host_rng.choice(6, p=counts / counts.sum()))
+            axis, flip = face // 2, not bool(face % 2)
+        else:
+            axis, flip = self._axis_flip[i0]
+            pool = [
+                j
+                for j, (af, ins) in enumerate(
+                    zip(self._axis_flip, self._inside)
+                )
+                if af == (axis, flip) and not ins
+            ]
+            idxs = [i0] + [
+                pool[self._host_rng.randint(len(pool))]
+                for _ in range(n_dev - 1)
+            ]
+
+        slope_list = None
+        if inside:
+            slope_list = []
+            for j, (x0, y0) in zip(idxs, wins):
+                b = face_slope_bounds(
+                    self.poses_np[j], np.asarray(self.K), (c, c),
+                    axis, -1.0 if flip else 1.0, crop_xy=(x0, y0),
+                )
+                if b is None:  # cone-wide fallback for the whole batch
+                    slope_list = None
+                    break
+                slope_list.append(np.asarray(b, np.float32))
+        if slope_list:
+            b0 = slope_list[0]
+            warp = _matmul_solve_choice(
+                self.poses_np[i0], axis, float(b0[1, 0]), float(b0[1, 1])
+            )
+        else:
+            warp = pick_warp(
+                self.poses_np[i0],
+                np.asarray(self.K),
+                (c, c),
+                axis,
+                face_sign=((-1.0 if flip else 1.0) if inside else None),
+                crop_xy=wins[0],
+            )
+
+        with_sk = self.sigma_keep is not None
+        with_sb = bool(slope_list)
+        slab_window = 0 if inside else self.slab_window
+        key = (
+            self._phase_idx, axis, flip, inside, warp,
+            slab_window, self.lat_size, with_sk, with_sb,
+        )
+        fn = self._sharded_steps.get(key)
+        if fn is None:
+            fn = make_swr_sharded_step(
+                self.cur_mcfg, self.tcfg, mesh, axis, flip,
+                slab_window=slab_window, warp=warp, inside=inside,
+                lat_size=self.lat_size, with_sigma_keep=with_sk,
+                with_slope_bounds=with_sb,
+            )
+            self._sharded_steps[key] = fn
+
+        imgs = jnp.take(self.images, jnp.asarray(idxs, jnp.int32), axis=0)
+        poses = jnp.asarray(self.poses_np[idxs])
+        Ks = jnp.broadcast_to(self.K, (n_dev, 3, 3))
+        xy = jnp.asarray(np.asarray(wins, np.int32))
+        args = shard_swr_batch(mesh, imgs, poses, Ks, xy)
+        extras = ()
+        if with_sk:
+            extras += (self.sigma_keep,)  # replicated (in_specs P())
+        if with_sb:
+            extras += shard_swr_batch(
+                mesh, jnp.asarray(np.stack(slope_list))
+            )
+        self.state, metrics = fn(self.state, *args, *extras)
         self.step += 1
         return metrics
 

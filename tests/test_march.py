@@ -383,3 +383,53 @@ def test_march_oracle_superset_of_reference_skip():
                     "missing from march_rays' set"
                 )
                 j += 1
+
+
+def test_march_interval_path_matches_lattice_path():
+    """The cell-interval fast path (cascades=1, exp=0) must produce the
+    same samples as the probe-every-lattice-point marcher."""
+    from taichi_nerfs_tpu.ops.marching import (
+        _march_rays_intervals,
+        num_candidates,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 256
+    bitfield = _bitfield_from_cells(
+        lambda c: rng.random(len(c)) < 0.3
+    )
+    rays_o = jnp.asarray(rng.uniform(-0.45, 0.45, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays_d = jnp.asarray(d, jnp.float32)
+    hits = ray_aabb_intersect(rays_o, rays_d, SCALE)
+    noise = jnp.asarray(rng.random(n), jnp.float32)
+    t_start = perturb_t_start(hits, noise, 0.0, GRID, SCALE)
+    cap = 128
+
+    fast = _march_rays_intervals(
+        rays_o, rays_d, t_start, hits[:, 1], bitfield,
+        scale=SCALE, grid_size=GRID, sample_cap=cap,
+    )
+    # force the lattice path by passing n_candidates explicitly
+    slow = march_rays(
+        rays_o, rays_d, t_start, hits[:, 1], bitfield,
+        cascades=CASCADES, scale=SCALE, exp_step_factor=0.0,
+        grid_size=GRID, sample_cap=cap,
+        n_candidates=num_candidates(SCALE, 0.0, GRID),
+    )
+    counts_f = np.asarray(fast.counts)
+    counts_s = np.asarray(slow.counts)
+    # identical sample sets up to float boundary ties (none expected on
+    # random rays)
+    np.testing.assert_array_equal(counts_f, counts_s)
+    np.testing.assert_allclose(
+        np.asarray(fast.ts), np.asarray(slow.ts), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.deltas), np.asarray(slow.deltas), rtol=0, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.t_final), np.asarray(slow.t_final),
+        rtol=0, atol=1e-5,
+    )

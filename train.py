@@ -138,12 +138,31 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
     from taichi_nerfs_tpu.train.metrics import ssim as ssim_fn
     from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
 
+    levels = tuple(
+        int(x)
+        for x in getattr(hparams, "pyramid_levels", "").split(",")
+        if x
+    ) or (32, 64, 128, 256)
     mcfg = PyramidConfig(
+        resolutions=levels,
         scale=hparams.scale,
         deferred=getattr(hparams, "shading", "deferred") == "deferred",
         sigma_res=getattr(hparams, "sigma_res", 0),
         features=getattr(hparams, "features", 16),
     )
+    # --num_devices: crop-parallel DP over a mesh (parallel/swr_shard.py);
+    # 0 = all visible devices, 1 = single-chip
+    n_dev = getattr(hparams, "num_devices", 1) or len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from taichi_nerfs_tpu.parallel import make_mesh
+
+        assert len(jax.devices()) >= n_dev, (
+            f"--num_devices {n_dev} but only {len(jax.devices())} "
+            "devices visible"
+        )
+        mesh = make_mesh(n_dev)
+        print(f"pyramid: crop-parallel over a {n_dev}-device mesh")
     # cameras outside the cube along their dominant axis take the single
     # fast sweep; inside cameras (real scenes) take the cubemap-face
     # sweep with a face-masked loss (render/swr.py `inside`)
@@ -198,6 +217,7 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         train_dataset.poses,
         train_dataset.K,
         train_dataset.img_wh,
+        mesh=mesh,
     )
     if hparams.ckpt_path:
         trainer.load_npz(hparams.ckpt_path)
