@@ -47,6 +47,15 @@ def get_opts(prefix_args=None):
                              "resolutions (default 32,64,128,256); e.g. "
                              "32,64,128,256,512 for the R=512 quality "
                              "config")
+    parser.add_argument("--fine_features", type=int, default=0,
+                        help="pyramid model: channel width of the FINEST "
+                             "level only (lean top level, e.g. 4 at "
+                             "512^3); 0 = same as --features")
+    parser.add_argument("--bake_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="pyramid model: baked-grid dtype for the "
+                             "sweep; bfloat16 halves the R^3*F live "
+                             "buffers (needed for R>=512 training)")
     parser.add_argument("--features", type=int, default=16,
                         help="pyramid model: channels per pyramid level "
                              "(1 density + F-1 appearance).  Measured on "

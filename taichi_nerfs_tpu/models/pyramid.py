@@ -47,6 +47,14 @@ class PyramidConfig:
     # A full F-channel level at 512^3 would not fit HBM (4.3 GB params +
     # 2x adam + baked grid); the sigma-only level is 1/8 of that
     sigma_res: int = 0
+    # per-level channel widths (default: `features` everywhere).  A LEAN
+    # finest level (e.g. (8, 8, 8, 8, 4) for a 512^3 top) adds detail to
+    # sigma + the first feature channels at a fraction of the parameter /
+    # optimizer-state HBM — the summed-pyramid analogue of NGP's
+    # level-concat capacity taper.  Must be non-increasing and start at
+    # `features` (the progressive bake adds finer levels into the
+    # leading channels of the running sum).
+    level_features: Tuple[int, ...] = ()
 
     def __post_init__(self):
         if self.sigma_res:
@@ -54,6 +62,18 @@ class PyramidConfig:
                 "sigma_res must be 2x the finest feature level "
                 f"(got {self.sigma_res} vs {self.resolutions[-1]})"
             )
+        if self.level_features:
+            lf = self.level_features
+            assert len(lf) == len(self.resolutions), (lf, self.resolutions)
+            assert lf[0] == self.features, lf
+            assert all(
+                1 <= b <= a for a, b in zip(lf, lf[1:])
+            ), f"level_features must be non-increasing: {lf}"
+
+    def feat_of(self, lv: int) -> int:
+        return (
+            self.level_features[lv] if self.level_features else self.features
+        )
 
     @property
     def grid_res(self) -> int:
@@ -75,7 +95,11 @@ def truncate(cfg: PyramidConfig, n_levels: int) -> PyramidConfig:
     """
     assert 1 <= n_levels <= len(cfg.resolutions)
     assert not cfg.split, "progressive training requires sigma_res=0"
-    return dataclasses.replace(cfg, resolutions=cfg.resolutions[:n_levels])
+    return dataclasses.replace(
+        cfg,
+        resolutions=cfg.resolutions[:n_levels],
+        level_features=cfg.level_features[:n_levels],
+    )
 
 
 def rgb_mlp_spec(cfg: PyramidConfig) -> MLPSpec:
@@ -92,10 +116,10 @@ def rgb_mlp_spec(cfg: PyramidConfig) -> MLPSpec:
 def init_pyramid_params(key: jax.Array, cfg: PyramidConfig) -> Params:
     keys = jax.random.split(key, len(cfg.resolutions) + 2)
     levels = []
-    for k, r in zip(keys[:-2], cfg.resolutions):
+    for lv, (k, r) in enumerate(zip(keys[:-2], cfg.resolutions)):
         levels.append(
             1e-2
-            * jax.random.normal(k, (r, r, r, cfg.features), jnp.float32)
+            * jax.random.normal(k, (r, r, r, cfg.feat_of(lv)), jnp.float32)
         )
     params = {
         "levels": levels,
@@ -156,7 +180,16 @@ def bake(params: Params, cfg: PyramidConfig) -> jnp.ndarray:
     for g in params["levels"]:
         if out is not None and out.shape[0] != g.shape[0]:
             out = _upsample3(out, g.shape[0])
-        out = g if out is None else out + g
+        if out is None:
+            out = g
+        elif g.shape[-1] < out.shape[-1]:
+            # lean level: adds detail to sigma + the leading features
+            out = jnp.concatenate(
+                [out[..., : g.shape[-1]] + g, out[..., g.shape[-1] :]],
+                axis=-1,
+            )
+        else:
+            out = out + g
     if out.shape[0] != R:
         out = _upsample3(out, R)
     if cfg.split:

@@ -48,6 +48,11 @@ class SwrTrainConfig:
     # explicit bf16 produces bitwise-identical training metrics and no
     # speedup (only extra converts).  Kept for experimentation
     resample_dtype: str = "float32"
+    # baked-grid dtype for the sweep ("float32" | "bfloat16").  bf16
+    # halves the dominant R^3*F live buffers (grid + its cotangent) —
+    # required headroom for R >= 512 training; sigma carries ~0.4%
+    # relative error through the bf16 mantissa
+    bake_dtype: str = "float32"
     # coarse-to-fine (DVGO/Plenoxels-style): prog_steps[i] steps are spent
     # with the pyramid truncated to its first
     # ``len(resolutions) - len(prog_steps) + i`` levels (the train lattice
@@ -217,7 +222,19 @@ def make_swr_loss(
     K_crop = K_crop.at[1, 2].add(-y0.astype(jnp.float32))
 
     def loss_fn(params):
-        grid = pyr.bake(params, mcfg)
+        # remat the bake at large R: its forward intermediates (the
+        # progressive upsample chain, ~R^3*F each) otherwise stay live
+        # across the whole sweep for the backward pass
+        bake_fn = (
+            jax.checkpoint(pyr.bake, static_argnums=(1,))
+            if mcfg.grid_res >= 384
+            else pyr.bake
+        )
+        grid = bake_fn(params, mcfg)
+        if tcfg.bake_dtype == "bfloat16":
+            grid = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), grid
+            )
         if sigma_keep is not None:
             # camera free-space carving (tcfg.cam_carve): zero sigma in
             # voxels a training camera has occupied

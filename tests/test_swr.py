@@ -681,3 +681,47 @@ def test_swr_lat_cap_quality(setup):
     mse = float(np.mean((a - b) ** 2))
     psnr = -10 * np.log10(mse + 1e-12)
     assert psnr > 30.0, f"lat-capped render diverges: psnr={psnr:.2f}"
+
+
+def test_pyramid_lean_fine_level():
+    """A lean finest level (level_features) bakes exactly like a full
+    level whose trailing channels are zero, and trains (has grads)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from taichi_nerfs_tpu.models import pyramid as pyr
+
+    cfg = pyr.PyramidConfig(
+        resolutions=(4, 8), features=4, rgb_width=8, rgb_depth=1,
+        level_features=(4, 2),
+    )
+    params = pyr.init_pyramid_params(jax.random.PRNGKey(0), cfg)
+    assert params["levels"][1].shape == (8, 8, 8, 2)
+
+    cfg_full = dataclasses.replace(cfg, level_features=())
+    params_full = dict(params)
+    fine = params["levels"][1]
+    params_full["levels"] = [
+        params["levels"][0],
+        jnp.concatenate(
+            [fine, jnp.zeros(fine.shape[:-1] + (2,), fine.dtype)], axis=-1
+        ),
+    ]
+    np.testing.assert_allclose(
+        np.asarray(pyr.bake(params, cfg)),
+        np.asarray(pyr.bake(params_full, cfg_full)),
+        rtol=1e-6,
+    )
+
+    def loss(p):
+        return jnp.sum(pyr.bake(p, cfg) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert g["levels"][1].shape == (8, 8, 8, 2)
+    assert float(jnp.abs(g["levels"][1]).max()) > 0
+
+    # truncate slices level_features with resolutions
+    t = pyr.truncate(cfg, 1)
+    assert t.level_features == (4,)

@@ -143,12 +143,17 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         for x in getattr(hparams, "pyramid_levels", "").split(",")
         if x
     ) or (32, 64, 128, 256)
+    feats = getattr(hparams, "features", 16)
+    fine_f = getattr(hparams, "fine_features", 0)
     mcfg = PyramidConfig(
         resolutions=levels,
         scale=hparams.scale,
         deferred=getattr(hparams, "shading", "deferred") == "deferred",
         sigma_res=getattr(hparams, "sigma_res", 0),
-        features=getattr(hparams, "features", 16),
+        features=feats,
+        level_features=(
+            (feats,) * (len(levels) - 1) + (fine_f,) if fine_f else ()
+        ),
     )
     # --num_devices: crop-parallel DP over a mesh (parallel/swr_shard.py);
     # 0 = all visible devices, 1 = single-chip
@@ -209,6 +214,7 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         # 15 -> 35 trainview PSNR on the analytic shell rig)
         random_bg=hparams.random_bg or n_inside > 0,
         cam_carve=getattr(hparams, "cam_carve", 0.0),
+        bake_dtype=getattr(hparams, "bake_dtype", "float32"),
     )
     trainer = SwrTrainer(
         mcfg,
