@@ -151,13 +151,15 @@ def _upsample3(g: jnp.ndarray, r_out: int) -> jnp.ndarray:
     (29 vs 11 ms fwd at 256^3x8) — the even/odd interleave forces
     sublane/lane relayouts, while the MXU eats the dense band matrix at
     ~100 TFLOP/s.  Keep the matmul form, even at R=512."""
-    w = _upsample_matrix(g.shape[0], r_out)
+    w = _upsample_matrix(g.shape[0], r_out).astype(g.dtype)
     g = jnp.einsum("xyzf,xu->uyzf", g, w)
     g = jnp.einsum("xyzf,yu->xuzf", g, w)
     return jnp.einsum("xyzf,zu->xyuf", g, w)
 
 
-def bake(params: Params, cfg: PyramidConfig) -> jnp.ndarray:
+def bake(
+    params: Params, cfg: PyramidConfig, dtype=jnp.float32
+) -> jnp.ndarray:
     """Fuse the pyramid into one (R, R, R, F) grid (dense streaming).
 
     Levels are accumulated *progressively* (each level upsampled to the
@@ -178,6 +180,11 @@ def bake(params: Params, cfg: PyramidConfig) -> jnp.ndarray:
     R = cfg.grid_res
     out = None
     for g in params["levels"]:
+        # ``dtype=bf16``: the whole progressive chain (upsample matmuls,
+        # adds, TruncExp) runs in bf16 so the R^3*F live buffers AND
+        # their backward cotangents are half-width — the HBM headroom
+        # that makes R=512 training fit on one 16 GB chip
+        g = g.astype(dtype)
         if out is not None and out.shape[0] != g.shape[0]:
             out = _upsample3(out, g.shape[0])
         if out is None:
@@ -194,14 +201,14 @@ def bake(params: Params, cfg: PyramidConfig) -> jnp.ndarray:
         out = _upsample3(out, R)
     if cfg.split:
         logit = _upsample3(out[..., :1], cfg.sigma_res)[..., 0]
-        logit = logit + params["sigma_level"]
+        logit = logit + params["sigma_level"].astype(dtype)
         sigma = trunc_exp(logit + cfg.sigma_bias)
         return sigma, out[..., 1:]
     sigma = trunc_exp(out[..., 0] + cfg.sigma_bias)
     return jnp.concatenate([sigma[..., None], out[..., 1:]], axis=-1)
 
 
-bake_jit = jax.jit(bake, static_argnames="cfg")
+bake_jit = jax.jit(bake, static_argnames=("cfg", "dtype"))
 
 
 def density_from_grid(grid_slab: jnp.ndarray) -> jnp.ndarray:

@@ -248,7 +248,7 @@ def _bwd_kernel(
         )  # (nq, Rc)
         dvol_ref[0, 0, f] = jnp.dot(
             wb, t.astype(dtype), preferred_element_type=jnp.float32
-        )  # (Rb, Rc)
+        ).astype(dvol_ref.dtype)  # (Rb, Rc); cotangent dtype == primal's
 
     back(dx2_sigma, 0)
     for f in range(1, F):
@@ -337,7 +337,7 @@ def _bwd_call(
             lambda c, s: (c, dc - 1 - s, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(vol_cs.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(vol_cs.shape, vol_cs.dtype),
         scratch_shapes=[
             pltpu.VMEM((nq, nq), jnp.float32) for _ in range(4)
         ],

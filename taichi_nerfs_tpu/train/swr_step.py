@@ -53,6 +53,8 @@ class SwrTrainConfig:
     # required headroom for R >= 512 training; sigma carries ~0.4%
     # relative error through the bf16 mantissa
     bake_dtype: str = "float32"
+    # store adam's first moment in bf16 (R>=512 HBM headroom)
+    adam_mu_bf16: bool = False
     # coarse-to-fine (DVGO/Plenoxels-style): prog_steps[i] steps are spent
     # with the pyramid truncated to its first
     # ``len(resolutions) - len(prog_steps) + i`` levels (the train lattice
@@ -102,7 +104,10 @@ def make_optimizer(cfg: SwrTrainConfig):
     sched = optax.cosine_decay_schedule(
         cfg.lr, cfg.max_steps, alpha=cfg.lr_final_ratio
     )
-    return optax.adam(sched, eps=1e-15)
+    # bf16 first moment at R>=512 scale: mu is pure EMA smoothing and
+    # tolerates 8 mantissa bits; nu stays fp32 (its sqrt sets the step)
+    mu_dt = jnp.bfloat16 if cfg.adam_mu_bf16 else None
+    return optax.adam(sched, eps=1e-15, mu_dtype=mu_dt)
 
 
 def create_swr_state(
@@ -161,9 +166,11 @@ def apply_sigma_keep(grid, sigma_keep: jnp.ndarray):
     """Zero the baked grid's sigma channel where ``sigma_keep`` is 0."""
     if isinstance(grid, tuple):
         sigma, feats = grid
-        return sigma * sigma_keep, feats
+        return sigma * sigma_keep.astype(sigma.dtype), feats
     return jnp.concatenate(
-        [grid[..., :1] * sigma_keep[..., None], grid[..., 1:]], axis=-1
+        [grid[..., :1] * sigma_keep[..., None].astype(grid.dtype),
+         grid[..., 1:]],
+        axis=-1,
     )
 
 
@@ -217,6 +224,8 @@ def make_swr_loss(
     gt = jax.lax.dynamic_slice(
         gt_image, (y0, x0, jnp.int32(0)), (c, c, 3)
     ).reshape(c * c, 3)
+    if gt.dtype == jnp.uint8:  # device images stay 8-bit (4x HBM saved)
+        gt = gt.astype(jnp.float32) / 255.0
     # crop intrinsics: principal point shifts by the crop offset
     K_crop = K.at[0, 2].add(-x0.astype(jnp.float32))
     K_crop = K_crop.at[1, 2].add(-y0.astype(jnp.float32))
@@ -224,17 +233,17 @@ def make_swr_loss(
     def loss_fn(params):
         # remat the bake at large R: its forward intermediates (the
         # progressive upsample chain, ~R^3*F each) otherwise stay live
-        # across the whole sweep for the backward pass
+        # across the whole sweep for the backward pass.  bake_dtype=bf16
+        # runs the whole chain (and so its cotangents) half-width.
+        bake_dt = (
+            jnp.bfloat16 if tcfg.bake_dtype == "bfloat16" else jnp.float32
+        )
         bake_fn = (
-            jax.checkpoint(pyr.bake, static_argnums=(1,))
+            jax.checkpoint(pyr.bake, static_argnums=(1, 2))
             if mcfg.grid_res >= 384
             else pyr.bake
         )
-        grid = bake_fn(params, mcfg)
-        if tcfg.bake_dtype == "bfloat16":
-            grid = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16), grid
-            )
+        grid = bake_fn(params, mcfg, bake_dt)
         if sigma_keep is not None:
             # camera free-space carving (tcfg.cam_carve): zero sigma in
             # voxels a training camera has occupied
@@ -394,8 +403,17 @@ class SwrTrainer:
         self._sharded_steps = {}
         self.mcfg, self.tcfg = mcfg, tcfg
         w, h = img_wh
+        # 8-bit on device: training data is 8-bit on disk anyway
+        # (reference reads PNGs) and fp32 copies of a 100-view 800^2 rig
+        # cost 768 MB of HBM; the crop slice upcasts in make_swr_loss
         self.images = jnp.asarray(
-            np.asarray(images, np.float32).reshape(-1, h, w, 3)
+            np.clip(
+                np.asarray(images, np.float32).reshape(-1, h, w, 3)
+                * 255.0
+                + 0.5,
+                0,
+                255,
+            ).astype(np.uint8)
         )
         self.poses_np = np.asarray(poses, np.float32)
         self.poses = jnp.asarray(self.poses_np)
@@ -764,7 +782,15 @@ class SwrTrainer:
 
         # bake once per training step, not once per rendered view
         if getattr(self, "_grid_cache", (None, None))[0] != self.step:
-            baked = pyr.bake_jit(self.state.params, self.cur_mcfg)
+            baked = pyr.bake_jit(
+                self.state.params,
+                self.cur_mcfg,
+                dtype=(
+                    jnp.bfloat16
+                    if self.tcfg.bake_dtype == "bfloat16"
+                    else jnp.float32
+                ),
+            )
             if self.sigma_keep is not None:
                 baked = apply_sigma_keep(baked, self.sigma_keep)
             self._grid_cache = (self.step, baked)

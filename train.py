@@ -215,6 +215,8 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         random_bg=hparams.random_bg or n_inside > 0,
         cam_carve=getattr(hparams, "cam_carve", 0.0),
         bake_dtype=getattr(hparams, "bake_dtype", "float32"),
+        # the bf16-bake memory regime wants the mu EMA half-width too
+        adam_mu_bf16=getattr(hparams, "bake_dtype", "") == "bfloat16",
     )
     trainer = SwrTrainer(
         mcfg,
