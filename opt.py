@@ -131,6 +131,9 @@ def get_opts(prefix_args=None):
                         help="checkpoint to load (params + optimizer + grid)")
     parser.add_argument("--gui", action="store_true", default=False,
                         help="open the interactive viewer after training")
+    parser.add_argument("--eval_views", type=int, default=0,
+                        help="cap the number of evaluated test views "
+                             "(0 = all); quality records use all")
     parser.add_argument("--val_only", action="store_true", default=False,
                         help="skip training; evaluate a checkpoint")
     parser.add_argument("--profile_dir", type=str, default="",

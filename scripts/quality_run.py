@@ -1,0 +1,155 @@
+"""Chunked lego-proxy quality run: resume-exact across invocations.
+
+Each invocation resumes from ``--state`` (if present), trains until
+``--total_steps`` or ``--wall`` seconds, checkpoints, and exits; when
+training is complete it runs the held-out eval and prints the record
+line.  Drive it repeatedly under any per-process wall limit:
+
+    PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/quality_run.py \
+        --total_steps 4200 --wall 480 \
+        --pyramid_levels 32,64,128,256,512 --fine_features 4 \
+        --bake_dtype bfloat16
+
+Reference bar: Synthetic-NeRF Lego 35.0 PSNR / 208 s (RTX 3090,
+reference README.md:33-37); round-2 verdict milestone: >= 32 PSNR at
+<= 400 s train wall via the lego proxy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--total_steps", type=int, default=4200)
+    ap.add_argument("--wall", type=float, default=480.0)
+    ap.add_argument("--state", default="/tmp/quality_run_state.pkl")
+    ap.add_argument("--pyramid_levels", default="32,64,128,256,512")
+    ap.add_argument("--features", type=int, default=8)
+    ap.add_argument("--fine_features", type=int, default=4)
+    ap.add_argument("--bake_dtype", default="bfloat16")
+    ap.add_argument("--lr", type=float, default=2e-2)
+    ap.add_argument("--prog", default="auto")
+    ap.add_argument("--eval_views", type=int, default=0)
+    ap.add_argument("--views", type=int, default=100)
+    ap.add_argument("--res", type=int, default=800)
+    ap.add_argument("--scene", default="lego")
+    args = ap.parse_args()
+
+    from taichi_nerfs_tpu.data.synthetic import SyntheticSphereDataset
+    from taichi_nerfs_tpu.models.pyramid import PyramidConfig
+    from taichi_nerfs_tpu.train.metrics import psnr as psnr_fn
+    from taichi_nerfs_tpu.train.metrics import ssim as ssim_fn
+    from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
+
+    spec = (
+        f"synthetic://{args.scene}?views={args.views}&res={args.res}"
+    )
+    train_ds = SyntheticSphereDataset(spec, split="train")
+    levels = tuple(int(x) for x in args.pyramid_levels.split(","))
+    lf = (
+        (args.features,) * (len(levels) - 1) + (args.fine_features,)
+        if args.fine_features
+        else ()
+    )
+    mcfg = PyramidConfig(
+        resolutions=levels,
+        features=args.features,
+        deferred=True,
+        level_features=lf,
+    )
+    T = args.total_steps
+    if args.prog == "auto":
+        prog = (max(T * 3 // 16, 1), max(T * 9 // 40, 1))
+    elif args.prog:
+        prog = tuple(int(x) for x in args.prog.split(",") if x)
+    else:
+        prog = ()
+    tcfg = SwrTrainConfig(
+        crop=256,
+        lr=args.lr,
+        max_steps=T,
+        prog_steps=prog,
+        bake_dtype=args.bake_dtype,
+        adam_mu_bf16=args.bake_dtype == "bfloat16",
+    )
+    trainer = SwrTrainer(
+        mcfg, tcfg, train_ds.rays, train_ds.poses, train_ds.K,
+        train_ds.img_wh,
+    )
+    meta_path = args.state + ".meta.json"
+    train_wall = 0.0
+    if os.path.exists(args.state):
+        trainer.load_state(args.state)
+        train_wall = json.load(open(meta_path))["train_wall"]
+        print(f"resumed at step {trainer.step} ({train_wall:.0f}s so far)",
+              flush=True)
+
+    t0 = time.time()
+    m = None
+    while trainer.step < T and time.time() - t0 < args.wall:
+        m = trainer.run_step()
+        if (trainer.step - 1) % 500 == 0:
+            mm = {k: float(v) for k, v in m.items()}
+            print(
+                f"step={trainer.step - 1} psnr={mm['psnr']:.2f} "
+                f"loss={mm['loss']:.5f} wall={time.time() - t0:.0f}s",
+                flush=True,
+            )
+    if m is not None:
+        float(m["loss"])  # sync so the wall clock is true device time
+    train_wall += time.time() - t0
+    trainer.save_state(args.state)
+    json.dump({"train_wall": train_wall}, open(meta_path, "w"))
+    if trainer.step < T:
+        print(f"PAUSED at step {trainer.step}/{T} "
+              f"(train_wall={train_wall:.0f}s)", flush=True)
+        return
+
+    print(f"TRAIN DONE: {T} steps in {train_wall:.0f}s", flush=True)
+    test_ds = SyntheticSphereDataset(spec, split="test")
+    w, h = test_ds.img_wh
+    n_eval = args.eval_views or len(test_ds)
+    psnrs, ssims = [], []
+    for i in range(min(len(test_ds), n_eval)):
+        s = test_ds[i]
+        out = trainer.render(s["pose"], K=None, img_wh=(w, h),
+                             lat_cap=None)
+        gt = np.asarray(s["rgb"])
+        rgb = np.asarray(out["rgb"])
+        psnrs.append(float(psnr_fn(rgb, gt)))
+        ssims.append(float(
+            ssim_fn(rgb.reshape(h, w, 3), gt.reshape(h, w, 3))
+        ))
+        print(f"view {i}: psnr={psnrs[-1]:.2f}", flush=True)
+    print(
+        f"RECORD: eval_psnr={np.mean(psnrs):.2f} "
+        f"ssim={np.mean(ssims):.3f} train_wall={train_wall:.0f}s "
+        f"steps={T} views={len(psnrs)}",
+        flush=True,
+    )
+    flat = {
+        f"level_{i}": np.asarray(g)
+        for i, g in enumerate(
+            __import__("jax").device_get(trainer.state.params)["levels"]
+        )
+    }
+    flat.update({
+        f"rgb_mlp_{k}": np.asarray(v)
+        for k, v in __import__("jax").device_get(
+            trainer.state.params
+        )["rgb_mlp"].items()
+    })
+    os.makedirs("results", exist_ok=True)
+    np.savez(os.path.join("results", "model_pyramid.npz"), **flat)
+    print("saved results/model_pyramid.npz", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -501,6 +501,50 @@ class SwrTrainer:
             self.state = shard_swr_state(self.state, self.mesh)
             self._sharded_steps = {}  # programs are per-phase (mcfg)
 
+    def save_state(self, path: str):
+        """Full-state checkpoint (params + adam moments + rng + step +
+        phase) — resume-exact, unlike the export-oriented ``model_*.npz``
+        (the NGP path's ``utils/checkpoint.py`` has the same property)."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "step": self.step,
+                    "phase": self._phase_idx,
+                    "state": jax.device_get(self.state),
+                    "host_rng": self._host_rng.get_state(),
+                },
+                f,
+            )
+
+    def load_state(self, path: str):
+        import pickle
+
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        # replay phase activations so lattice/slab-window/sigma-keep
+        # match the saved phase, then overwrite the state it created
+        while self._phase_idx < d["phase"]:
+            self._activate_phase(
+                self._phase_idx + 1,
+                jax.random.fold_in(
+                    jax.random.PRNGKey(23), self._phase_idx + 1
+                ),
+            )
+        st = SwrTrainState(*d["state"])
+        if self.mesh is not None:
+            from ..parallel.swr_shard import shard_swr_state
+
+            st = shard_swr_state(st, self.mesh)
+        else:
+            st = jax.device_put(st)
+        self.state = st
+        self.step = d["step"]
+        if "host_rng" in d:  # crop-draw sequence continues, not repeats
+            self._host_rng.set_state(d["host_rng"])
+        self._grid_cache = (None, None)
+
     def load_npz(self, path: str):
         """Load params saved by train.py's ``model_pyramid.npz`` export
         (the pyramid path's --ckpt_path).  Jumps the trainer to the final

@@ -254,7 +254,8 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
 
     w, h = test_dataset.img_wh
     psnrs, ssims = [], []
-    for i in range(len(test_dataset)):
+    n_eval = getattr(hparams, "eval_views", 0) or len(test_dataset)
+    for i in range(min(len(test_dataset), n_eval)):
         sample = test_dataset[i]
         # quality eval renders uncapped: the 1.25R lattice cap is the
         # interactive-fps knob and costs ~1.8 dB on crisp content at
