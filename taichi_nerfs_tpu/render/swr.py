@@ -551,6 +551,16 @@ def render_swr_fixed_axis(
     # slab-sweep dispatch: the fused Pallas chunk kernel covers the
     # flagship train/bench configuration (ops/swr_pallas.py docstring);
     # everything else runs the XLA scan
+    # skip_empty does NOT block the Pallas path: the kernel composites
+    # every slab (sigma <= 1e-4 slabs contribute alpha <= ~1e-6), which
+    # is strictly more exact than the scan's lax.cond skip — and the
+    # fused sweep at eval sizes is far faster than scan-with-skips.
+    # VMEM guard: the kernel parks the (F+2, nq, nq) frame + 4 (nq, nq)
+    # scratch buffers + double-buffered slab blocks in VMEM.
+    vmem_est = (
+        (acc_ch + 2 + 4) * nq * nq * 4
+        + 2 * (acc_ch + 1) * cfg.grid_res ** 2 * 4
+    )
     pallas_scope = (
         cfg.deferred
         and not split
@@ -558,7 +568,7 @@ def render_swr_fixed_axis(
         and not want_distortion
         and not debug_frames
         and slab_window == 0
-        and not skip_empty
+        and vmem_est <= 88 * 2**20
     )
     if sweep_impl == "auto":
         use_pallas = pallas_scope and jax.default_backend() == "tpu"
@@ -567,7 +577,7 @@ def render_swr_fixed_axis(
         assert pallas_scope, (
             "sweep_impl=pallas requires deferred shading, an unsplit "
             "grid, an outside camera, no distortion, slab_window=0 and "
-            "skip_empty=False"
+            "a lattice that fits VMEM (~1100^2 at F=8)"
         )
         assert sweep_impl != "pallas" or jax.default_backend() == "tpu", (
             "sweep_impl='pallas' needs a TPU backend (Mosaic lowering); "
