@@ -105,8 +105,10 @@ def main():
     if m is not None:
         float(m["loss"])  # sync so the wall clock is true device time
     train_wall += time.time() - t0
+    ts = time.time()
     trainer.save_state(args.state)
     json.dump({"train_wall": train_wall}, open(meta_path, "w"))
+    print(f"checkpoint saved in {time.time() - ts:.0f}s", flush=True)
     if trainer.step < T:
         print(f"PAUSED at step {trainer.step}/{T} "
               f"(train_wall={train_wall:.0f}s)", flush=True)

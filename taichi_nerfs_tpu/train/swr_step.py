@@ -501,22 +501,35 @@ class SwrTrainer:
             self.state = shard_swr_state(self.state, self.mesh)
             self._sharded_steps = {}  # programs are per-phase (mcfg)
 
-    def save_state(self, path: str):
-        """Full-state checkpoint (params + adam moments + rng + step +
-        phase) — resume-exact, unlike the export-oriented ``model_*.npz``
-        (the NGP path's ``utils/checkpoint.py`` has the same property)."""
+    def save_state(self, path: str, light: bool = True):
+        """Checkpoint for resume.
+
+        ``light`` (default): bf16 params + rng + step + phase + crop-rng
+        — on resume the optimizer re-initializes with its step counts
+        fast-forwarded (zeroed moments at the right cosine-lr point).
+        Full mode adds the fp32 adam moments for resume-exactness, but a
+        tunneled chip reads back at ~25 MB/s, so a full R=512 state
+        (~10 GB) costs minutes per save; light is ~1.4 GB.
+        """
         import pickle
 
-        with open(path, "wb") as f:
-            pickle.dump(
-                {
-                    "step": self.step,
-                    "phase": self._phase_idx,
-                    "state": jax.device_get(self.state),
-                    "host_rng": self._host_rng.get_state(),
-                },
-                f,
+        st = self.state
+        payload = {
+            "step": self.step,
+            "phase": self._phase_idx,
+            "host_rng": self._host_rng.get_state(),
+            "rng": jax.device_get(st.rng),
+        }
+        if light:
+            payload["params_bf16"] = jax.device_get(
+                jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16), st.params
+                )
             )
+        else:
+            payload["state"] = jax.device_get(st)
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
 
     def load_state(self, path: str):
         import pickle
@@ -532,7 +545,25 @@ class SwrTrainer:
                     jax.random.PRNGKey(23), self._phase_idx + 1
                 ),
             )
-        st = SwrTrainState(*d["state"])
+        if "state" in d:
+            st = SwrTrainState(*d["state"])
+        else:
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32),
+                d["params_bf16"],
+            )
+            opt_state = make_optimizer(self.tcfg).init(params)
+            # fast-forward the SCHEDULE count to the saved step (cosine
+            # lr resumes where it left off); adam's own count stays 0 so
+            # bias correction ramps the fresh moments in gently
+            ff = []
+            for o in opt_state:
+                if hasattr(o, "count") and not hasattr(o, "mu"):
+                    o = o._replace(
+                        count=jnp.asarray(d["step"], jnp.int32)
+                    )
+                ff.append(o)
+            st = SwrTrainState(params, tuple(ff), jnp.asarray(d["rng"]))
         if self.mesh is not None:
             from ..parallel.swr_shard import shard_swr_state
 

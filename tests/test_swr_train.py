@@ -245,3 +245,48 @@ def test_apply_sigma_keep_shapes():
         np.asarray(s2), np.asarray(sig) * np.asarray(keep)
     )
     np.testing.assert_array_equal(np.asarray(f2), np.asarray(feats))
+
+
+def test_swr_trainer_save_load_state(tmp_path):
+    """Light checkpoint/resume: params round-trip (bf16), phase + step +
+    crop-rng restored, cosine schedule fast-forwarded, training
+    continues."""
+    import jax
+    import jax.numpy as jnp
+
+    from taichi_nerfs_tpu.data.synthetic import SyntheticSphereDataset
+    from taichi_nerfs_tpu.models.pyramid import PyramidConfig
+    from taichi_nerfs_tpu.train.swr_step import SwrTrainConfig, SwrTrainer
+
+    scene = SyntheticSphereDataset(n_images=2, img_wh=(32, 32))
+    mcfg = PyramidConfig(resolutions=(4, 8), features=4, rgb_width=8,
+                         rgb_depth=1, deferred=True)
+    tcfg = SwrTrainConfig(crop=16, max_steps=40, n_chunks=2,
+                          prog_steps=(4,))
+    tr = SwrTrainer(mcfg, tcfg, scene.rays, scene.poses, scene.K,
+                    scene.img_wh)
+    for _ in range(8):  # crosses the phase boundary at step 4
+        m = tr.run_step()
+    path = str(tmp_path / "state.pkl")
+    tr.save_state(path)
+
+    tr2 = SwrTrainer(mcfg, tcfg, scene.rays, scene.poses, scene.K,
+                     scene.img_wh)
+    tr2.load_state(path)
+    assert tr2.step == tr.step
+    assert tr2._phase_idx == tr._phase_idx
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr.state.params),
+        jax.tree_util.tree_leaves(tr2.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32),
+            np.asarray(jnp.asarray(b, jnp.float32)),
+            rtol=1e-2, atol=1e-2,  # bf16 round-trip
+        )
+    # schedule count fast-forwarded; adam count fresh
+    sched = [o for o in tr2.state.opt_state
+             if hasattr(o, "count") and not hasattr(o, "mu")]
+    assert sched and int(sched[0].count) == tr.step
+    m2 = tr2.run_step()
+    assert np.isfinite(float(m2["loss"]))
