@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-2)
     ap.add_argument("--prog", default="auto")
     ap.add_argument("--eval_views", type=int, default=0)
+    ap.add_argument("--eval_now", action="store_true",
+                    help="skip training; evaluate the resumed state")
     ap.add_argument("--views", type=int, default=100)
     ap.add_argument("--res", type=int, default=800)
     ap.add_argument("--scene", default="lego")
@@ -91,10 +93,17 @@ def main():
         print(f"resumed at step {trainer.step} ({train_wall:.0f}s so far)",
               flush=True)
 
+    if args.eval_now:  # held-out snapshot of the resumed state
+        T = trainer.step
     t0 = time.time()
     m = None
     while trainer.step < T and time.time() - t0 < args.wall:
         m = trainer.run_step()
+        if trainer.step % 25 == 0:
+            # dispatch is async on the tunnel: without periodic syncs the
+            # wall check lets thousands of queued steps pile up past the
+            # budget (then the drain blows the process wall limit)
+            float(m["loss"])
         if (trainer.step - 1) % 500 == 0:
             mm = {k: float(v) for k, v in m.items()}
             print(

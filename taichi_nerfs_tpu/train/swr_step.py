@@ -521,10 +521,17 @@ class SwrTrainer:
             "rng": jax.device_get(st.rng),
         }
         if light:
-            payload["params_bf16"] = jax.device_get(
-                jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16), st.params
-                )
+            # leaf-by-leaf: casting the whole tree at once materializes
+            # bf16 copies of every level simultaneously (OOM at R=512
+            # next to the fp32 optimizer state)
+            def fetch(a):
+                b = a.astype(jnp.bfloat16)
+                h = jax.device_get(b)
+                del b
+                return h
+
+            payload["params_bf16"] = jax.tree_util.tree_map(
+                fetch, st.params
             )
         else:
             payload["state"] = jax.device_get(st)
