@@ -521,14 +521,12 @@ class SwrTrainer:
             "rng": jax.device_get(st.rng),
         }
         if light:
-            # leaf-by-leaf: casting the whole tree at once materializes
-            # bf16 copies of every level simultaneously (OOM at R=512
-            # next to the fp32 optimizer state)
+            # leaf-by-leaf fp32 transfer, cast on host: any device-side
+            # staging copy next to a full R=512 training state OOMs
+            import ml_dtypes
+
             def fetch(a):
-                b = a.astype(jnp.bfloat16)
-                h = jax.device_get(b)
-                del b
-                return h
+                return jax.device_get(a).astype(ml_dtypes.bfloat16)
 
             payload["params_bf16"] = jax.tree_util.tree_map(
                 fetch, st.params
