@@ -124,6 +124,13 @@ def main():
         return
 
     print(f"TRAIN DONE: {T} steps in {train_wall:.0f}s", flush=True)
+    # eval needs params only: drop the optimizer state (~7 GB at R=512)
+    # so the uncapped 800^2 render fits beside the baked grid
+    from taichi_nerfs_tpu.train.swr_step import SwrTrainState
+
+    trainer.state = SwrTrainState(
+        trainer.state.params, (), trainer.state.rng
+    )
     test_ds = SyntheticSphereDataset(spec, split="test")
     w, h = test_ds.img_wh
     n_eval = args.eval_views or len(test_ds)
