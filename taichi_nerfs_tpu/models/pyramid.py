@@ -199,12 +199,18 @@ def bake(
             out = out + g
     if out.shape[0] != R:
         out = _upsample3(out, R)
+    # forward logit ceiling: alpha saturates by sigma ~ 5e3 at the lattice
+    # dt, but unbounded summed-level logits can reach e^29 (~8e9) on
+    # under-observed floaters — finite in fp32 but NaN-adjacent through a
+    # bf16 sweep at 800^2.  (TruncExp clamps only its BACKWARD, like the
+    # reference's modules/networks.py:18-30.)
+    cap = jnp.asarray(11.0, dtype)
     if cfg.split:
         logit = _upsample3(out[..., :1], cfg.sigma_res)[..., 0]
         logit = logit + params["sigma_level"].astype(dtype)
-        sigma = trunc_exp(logit + cfg.sigma_bias)
+        sigma = trunc_exp(jnp.minimum(logit + cfg.sigma_bias, cap))
         return sigma, out[..., 1:]
-    sigma = trunc_exp(out[..., 0] + cfg.sigma_bias)
+    sigma = trunc_exp(jnp.minimum(out[..., 0] + cfg.sigma_bias, cap))
     return jnp.concatenate([sigma[..., None], out[..., 1:]], axis=-1)
 
 
