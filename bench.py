@@ -144,6 +144,8 @@ def bench_parity(scene):
 
 
 def main():
+    import signal
+
     scene = make_scene()
     flagship = bench_flagship(scene)
     record = {
@@ -157,7 +159,18 @@ def main():
     }
     _emit(record)  # flagship lands even if the parity leg is cut off
 
+    # watchdog: if the parity leg overruns the driver budget (cold cache
+    # on a slow compile host), exit with the flagship record in place
+    # rather than losing everything to SIGKILL (round-2 failure mode)
+    def _bail(signum, frame):
+        _emit(record)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(max(int(BUDGET_S - _elapsed()) - 5, 10))
+
     parity, warmup_step_s = bench_parity(scene)
+    signal.alarm(0)
     record.update(
         parity_rays_per_sec=round(parity, 1),
         parity_vs_baseline=round(parity / BASELINE, 3),
