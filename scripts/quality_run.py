@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--pyramid_levels", default="32,64,128,256,512")
     ap.add_argument("--features", type=int, default=8)
     ap.add_argument("--fine_features", type=int, default=4)
+    ap.add_argument("--level_features", default="",
+                    help="explicit comma list (overrides fine_features)")
     ap.add_argument("--bake_dtype", default="bfloat16")
     ap.add_argument("--lr", type=float, default=2e-2)
     ap.add_argument("--prog", default="auto")
@@ -55,11 +57,14 @@ def main():
     )
     train_ds = SyntheticSphereDataset(spec, split="train")
     levels = tuple(int(x) for x in args.pyramid_levels.split(","))
-    lf = (
-        (args.features,) * (len(levels) - 1) + (args.fine_features,)
-        if args.fine_features
-        else ()
-    )
+    if args.level_features:
+        lf = tuple(int(x) for x in args.level_features.split(","))
+    else:
+        lf = (
+            (args.features,) * (len(levels) - 1) + (args.fine_features,)
+            if args.fine_features
+            else ()
+        )
     mcfg = PyramidConfig(
         resolutions=levels,
         features=args.features,
