@@ -52,6 +52,12 @@ def _emit(record: dict) -> None:
     print(json.dumps(record), flush=True)
 
 
+def _note(msg: str) -> None:
+    import sys
+
+    print(f"[bench +{_elapsed():.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
 def make_scene():
     from taichi_nerfs_tpu.data.synthetic import SyntheticSphereDataset
 
@@ -88,20 +94,34 @@ def bench_flagship(scene) -> float:
         mcfg, tcfg, scene.rays, scene.poses, scene.K, scene.img_wh
     )
 
-    # warm every (axis, flip) program + settle compile caches
-    for _ in range(60):
+    # warm every (axis, flip) program + settle compile caches; per-step
+    # sync so a very early provisional can land (a cold compile cache on
+    # a 1-core host can eat the whole driver budget in this loop alone —
+    # round-3 observed; emit SOMETHING as soon as 16 steps have run)
+    step_times = []
+    for i in range(60):
+        t0 = time.perf_counter()
         m = trainer.run_step()
-    float(m["loss"])  # host readback: the only reliable sync on a tunnel
+        float(m["loss"])
+        step_times.append(time.perf_counter() - t0)
+        if i == 15:
+            early = tcfg.crop**2 / float(np.median(step_times[-6:]))
+            _note(f"warmup 16 steps, early estimate {early:.0f} rays/s")
+            _emit(_record(early))
+        if _elapsed() > BUDGET_S * 0.55 and i >= 15:
+            _note(f"warmup cut at step {i + 1} (budget)")
+            break
+    _note(f"flagship warmup done ({len(step_times)} steps)")
 
-    # provisional estimate first: on a cold compile cache the warmup
-    # above can eat most of the budget; 30 timed steps put a real
-    # number on the wire before the long measurement
+    # provisional estimate: 30 timed steps put a real number on the wire
+    # before the long measurement
     t0 = time.perf_counter()
     for _ in range(30):
         m = trainer.run_step()
     float(m["loss"])
     provisional = tcfg.crop**2 * 30 / (time.perf_counter() - t0)
     _emit(_record(provisional))
+    _note(f"flagship provisional {provisional:.0f} rays/s")
 
     n_timed = 200 if _elapsed() < BUDGET_S - 180 else 60
     t0 = time.perf_counter()
@@ -168,19 +188,22 @@ def _record(flagship: float) -> dict:
 def main():
     import signal
 
+    # watchdog from the very start: every measured record is already
+    # flushed to stdout the moment it exists, so on budget expiry we just
+    # exit cleanly and the driver parses the last complete line.  (Round-3
+    # observed a cold-cache flagship warmup alone overrunning the budget
+    # under host-CPU contention — rc=124 with zero output.)
+    def _bail(signum, frame):
+        _note("budget watchdog fired — exiting with emitted records")
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(max(int(BUDGET_S) - 15, 30))
+
     scene = make_scene()
     flagship = bench_flagship(scene)
     record = _record(flagship)
     _emit(record)  # flagship lands even if the parity leg is cut off
-
-    # watchdog: if the parity leg overruns the driver budget (cold cache
-    # on a slow compile host), exit with the flagship record in place
-    # rather than losing everything to SIGKILL (round-2 failure mode)
-    def _bail(signum, frame):
-        _emit(record)
-        os._exit(0)
-
-    signal.signal(signal.SIGALRM, _bail)
     signal.alarm(max(int(BUDGET_S - _elapsed()) - 5, 10))
 
     parity, warmup_step_s = bench_parity(scene)

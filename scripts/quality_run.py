@@ -37,6 +37,12 @@ def main():
                     help="explicit comma list (overrides fine_features)")
     ap.add_argument("--bake_dtype", default="bfloat16")
     ap.add_argument("--lr", type=float, default=2e-2)
+    # floater-suppression knobs (SwrTrainConfig docstrings): the r3 record
+    # runs used the defaults; weak-view floaters dominate the remaining gap
+    ap.add_argument("--sigma_l1", type=float, default=1e-5)
+    ap.add_argument("--tv_w", type=float, default=3e-3)
+    ap.add_argument("--distortion_w", type=float, default=0.0)
+    ap.add_argument("--cam_carve", type=float, default=0.0)
     ap.add_argument("--prog", default="auto")
     ap.add_argument("--eval_views", type=int, default=0)
     ap.add_argument("--eval_now", action="store_true",
@@ -85,6 +91,10 @@ def main():
         prog_steps=prog,
         bake_dtype=args.bake_dtype,
         adam_mu_bf16=args.bake_dtype == "bfloat16",
+        sigma_l1=args.sigma_l1,
+        tv_w=args.tv_w,
+        distortion_w=args.distortion_w,
+        cam_carve=args.cam_carve,
     )
     trainer = SwrTrainer(
         mcfg, tcfg, train_ds.rays, train_ds.poses, train_ds.K,
