@@ -42,6 +42,7 @@ import numpy as np
 BASELINE = 8192 * 20000 / 208.0  # reference Lego rays/s (README.md:33-37)
 T0 = time.perf_counter()
 BUDGET_S = float(os.environ.get("TNERF_BENCH_BUDGET", 540))
+N_EMITTED = 0  # watchdog exit code: 0 only if a record is on the wire
 
 
 def _elapsed() -> float:
@@ -49,7 +50,9 @@ def _elapsed() -> float:
 
 
 def _emit(record: dict) -> None:
+    global N_EMITTED
     print(json.dumps(record), flush=True)
+    N_EMITTED += 1
 
 
 def _note(msg: str) -> None:
@@ -173,8 +176,8 @@ def bench_parity(scene):
     return rays, warmup_step_s
 
 
-def _record(flagship: float) -> dict:
-    return {
+def _record(flagship: float, provisional: bool = False) -> dict:
+    rec = {
         "metric": "train_rays_per_sec",
         "value": round(flagship, 1),
         "unit": "rays/s",
@@ -183,31 +186,43 @@ def _record(flagship: float) -> dict:
         "parity_vs_baseline": None,
         "parity_warmup_step_s": None,
     }
+    if provisional:
+        # early estimate (possibly compile-contaminated): the driver can
+        # tell it apart from a steady-state record if the watchdog fires
+        rec["provisional"] = True
+    return rec
 
 
 def main():
-    import signal
+    import threading
 
-    # watchdog from the very start: every measured record is already
-    # flushed to stdout the moment it exists, so on budget expiry we just
-    # exit cleanly and the driver parses the last complete line.  (Round-3
-    # observed a cold-cache flagship warmup alone overrunning the budget
-    # under host-CPU contention — rc=124 with zero output.)
-    def _bail(signum, frame):
-        _note("budget watchdog fired — exiting with emitted records")
-        os._exit(0)
+    # Watchdog from the very start, as a daemon TIMER THREAD: SIGALRM
+    # handlers only run between Python bytecodes, so one long C-level XLA
+    # compile inside run_step() could sail past the budget into a driver
+    # SIGKILL — a thread is not blocked by C code.  os.write is
+    # signal/reentrancy-safe where print is not.  Every measured record
+    # is already flushed the moment it exists; exit 0 with records on the
+    # wire, 1 with none (a timeout that produced nothing must not look
+    # like a successful empty run).
+    def _bail():
+        os.write(
+            2,
+            b"[bench] budget watchdog fired - exiting with emitted "
+            b"records\n",
+        )
+        os._exit(0 if N_EMITTED else 1)
 
-    signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(max(int(BUDGET_S) - 15, 30))
+    watchdog = threading.Timer(max(BUDGET_S - 15, 30), _bail)
+    watchdog.daemon = True
+    watchdog.start()
 
     scene = make_scene()
     flagship = bench_flagship(scene)
     record = _record(flagship)
     _emit(record)  # flagship lands even if the parity leg is cut off
-    signal.alarm(max(int(BUDGET_S - _elapsed()) - 5, 10))
 
     parity, warmup_step_s = bench_parity(scene)
-    signal.alarm(0)
+    watchdog.cancel()
     record.update(
         parity_rays_per_sec=round(parity, 1),
         parity_vs_baseline=round(parity / BASELINE, 3),

@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--tv_w", type=float, default=3e-3)
     ap.add_argument("--distortion_w", type=float, default=0.0)
     ap.add_argument("--cam_carve", type=float, default=0.0)
+    ap.add_argument("--random_bg", action="store_true",
+                    help="composite pred AND alpha-aware GT over random "
+                         "backgrounds (floater killer on white-bg scenes)")
+    ap.add_argument("--alpha_w", type=float, default=0.0,
+                    help="direct opacity-vs-GT-alpha supervision weight")
     ap.add_argument("--prog", default="auto")
     ap.add_argument("--eval_views", type=int, default=0)
     ap.add_argument("--eval_now", action="store_true",
@@ -95,10 +100,17 @@ def main():
         tv_w=args.tv_w,
         distortion_w=args.distortion_w,
         cam_carve=args.cam_carve,
+        random_bg=args.random_bg,
+        alpha_w=args.alpha_w,
     )
     trainer = SwrTrainer(
         mcfg, tcfg, train_ds.rays, train_ds.poses, train_ds.K,
         train_ds.img_wh,
+        alphas=(
+            train_ds.alphas
+            if (args.random_bg or args.alpha_w > 0)
+            else None
+        ),
     )
     meta_path = args.state + ".meta.json"
     train_wall = 0.0

@@ -240,8 +240,15 @@ def render_gt_image(
     scale: float = 0.5,
     white_bg: bool = True,
     variant: str = "sphere",
-) -> np.ndarray:
-    """Dense (unaccelerated) volume integration oracle (pure numpy)."""
+    want_alpha: bool = False,
+):
+    """Dense (unaccelerated) volume integration oracle (pure numpy).
+
+    ``want_alpha``: also return the per-pixel GT opacity (1 - final
+    transmittance) — the synthetic counterpart of the alpha channel the
+    reference's Blender/NSVF RGBA PNGs carry (reference
+    datasets/color_utils.py:19-31 blends it away; we keep it so training
+    can composite GT over arbitrary backgrounds, --random_bg)."""
     rays_o, rays_d = _gt_rays(c2w, K, w, h)
 
     t0, t1 = 0.1, 2.5
@@ -250,6 +257,7 @@ def render_gt_image(
     density_fn, albedo_fn = _VARIANTS[variant]
     n = rays_d.shape[0]
     rgb = np.empty((n, 3), np.float32)
+    opac = np.empty((n,), np.float32)
     # chunk over rays: the (R, S, 3) temporaries at full-image size are
     # ~0.5 GB at 256^2x512 and thrash the page cache
     chunk = max(1, (1 << 22) // n_steps)
@@ -267,9 +275,13 @@ def render_gt_image(
         )
         wgt = alpha * trans  # (r, S)
         out = np.einsum("rs,rsc->rc", wgt, albedo_fn(xyz))
+        t_end = trans[:, -1] * (1.0 - alpha[:, -1])
         if white_bg:
-            out += trans[:, -1:] * (1.0 - alpha[:, -1:])
+            out += t_end[:, None]
         rgb[i : i + chunk] = out
+        opac[i : i + chunk] = 1.0 - t_end
+    if want_alpha:
+        return rgb.reshape(h * w, 3), opac.reshape(h * w)
     return rgb.reshape(h * w, 3)
 
 
@@ -283,7 +295,8 @@ def render_gt_image_jax(
     white_bg: bool = True,
     variant: str = "sphere",
     chunk: int = 0,
-) -> np.ndarray:
+    want_alpha: bool = False,
+):
     """Same direct integrator, vectorized with jax (device-accelerated).
 
     Only this container's single host core runs numpy; 800^2 x 512-step
@@ -317,9 +330,10 @@ def render_gt_image_jax(
         )
         wgt = alpha * trans
         out = jnp.einsum("rs,rsc->rc", wgt, albedo_fn(xyz, xp=jnp))
+        t_end = trans[:, -1:] * (1.0 - alpha[:, -1:])
         if white_bg:
-            out += trans[:, -1:] * (1.0 - alpha[:, -1:])
-        return out
+            out += t_end
+        return jnp.concatenate([out, 1.0 - t_end], axis=-1)
 
     n = rays_d.shape[0]
     pad = (-n) % chunk
@@ -333,7 +347,10 @@ def render_gt_image_jax(
         np.asarray(integrate(ro[i : i + chunk], rd[i : i + chunk]))
         for i in range(0, n + pad, chunk)
     ]
-    return np.concatenate(outs, axis=0)[:n].reshape(h * w, 3)
+    rgba = np.concatenate(outs, axis=0)[:n]
+    if want_alpha:
+        return rgba[:, :3].reshape(h * w, 3), rgba[:, 3].reshape(h * w)
+    return rgba[:, :3].reshape(h * w, 3)
 
 
 def _parse_synthetic_spec(root_dir: str):
@@ -383,7 +400,8 @@ def render_gt_image_lego(
     variant: str = "lego",
     ss: int = 2,
     chunk: int = 1 << 22,
-) -> np.ndarray:
+    want_alpha: bool = False,
+):
     """Surface render of the lego-proxy build: sphere-trace the SDF, shade
     once per ray (Lambert + 2-tap ambient occlusion), supersample ``ss``x.
 
@@ -446,7 +464,12 @@ def render_gt_image_lego(
         shade = (0.35 + 0.65 * lam) * (0.6 + 0.4 * ao)
         rgb = color * shade[..., None]
         bg = 1.0 if white_bg else 0.0
-        return jnp.where(hit[:, None], rgb, bg)
+        rgb = jnp.where(hit[:, None], rgb, bg)
+        # 4th channel: hit coverage — box-filtered below into the
+        # anti-aliased GT alpha (what a Blender RGBA render would carry)
+        return jnp.concatenate(
+            [rgb, hit[:, None].astype(jnp.float32)], axis=-1
+        )
 
     n = rays_d.shape[0]
     pad = (-n) % chunk
@@ -460,10 +483,13 @@ def render_gt_image_lego(
         np.asarray(trace(ro[i : i + chunk], rd[i : i + chunk]))
         for i in range(0, n + pad, chunk)
     ]
-    img = np.concatenate(outs, axis=0)[:n].reshape(hs, ws, 3)
+    img = np.concatenate(outs, axis=0)[:n].reshape(hs, ws, 4)
     # box-filter downsample: anti-aliased like the Blender renders
-    img = img.reshape(h, ss, w, ss, 3).mean(axis=(1, 3))
-    return img.reshape(h * w, 3).astype(np.float32)
+    img = img.reshape(h, ss, w, ss, 4).mean(axis=(1, 3))
+    rgb = img[..., :3].reshape(h * w, 3).astype(np.float32)
+    if want_alpha:
+        return rgb, img[..., 3].reshape(h * w).astype(np.float32)
+    return rgb
 
 
 class SyntheticSphereDataset(BaseDataset):
@@ -527,10 +553,13 @@ class SyntheticSphereDataset(BaseDataset):
         inside_rig = variant == "shell"
         if inside_rig and cam_radius >= 0.25:
             cam_radius = 0.15
-        # lego's cache entries tag the renderer (surface-traced v2)
+        # lego's cache entries tag the renderer (surface-traced v2); v2
+        # cache schema adds the GT alpha channel (rgb is bit-identical
+        # to v1 — the integrators always computed the final
+        # transmittance, v2 just keeps it)
         vtag = f"{variant}-st2" if variant == "lego" else variant
         key = (
-            f"v1|{split}|{n_images}|{w}x{h}|{cam_radius}|{vtag}|"
+            f"v2|{split}|{n_images}|{w}x{h}|{cam_radius}|{vtag}|"
             f"{n_steps}"
         )
         cache = os.path.join(
@@ -539,11 +568,12 @@ class SyntheticSphereDataset(BaseDataset):
         if os.path.exists(cache):
             d = np.load(cache)
             self.poses, self.rays = d["poses"], d["rays"]
+            self.alphas = d["alphas"]
             self._set_directions()
             return
 
         rng = np.random.RandomState(0 if split == "train" else 1)
-        poses, rays = [], []
+        poses, rays, alphas = [], [], []
         import time as _time
 
         _t0 = _time.time()
@@ -576,14 +606,20 @@ class SyntheticSphereDataset(BaseDataset):
                 target = np.zeros(3)
             c2w = look_at(eye, target, np.array([0.0, 0.0, 1.0]))
             poses.append(c2w)
-            rays.append(
-                render(c2w, self.K, w, h, n_steps=n_steps, variant=variant)
+            rgb, a = render(
+                c2w, self.K, w, h, n_steps=n_steps, variant=variant,
+                want_alpha=True,
             )
+            rays.append(rgb)
+            alphas.append(a)
         self.poses = np.stack(poses)
         self.rays = np.stack(rays)
+        self.alphas = np.stack(alphas)
         try:
             os.makedirs(cache_dir, exist_ok=True)
-            np.savez(cache, poses=self.poses, rays=self.rays)
+            np.savez(
+                cache, poses=self.poses, rays=self.rays, alphas=self.alphas
+            )
         except OSError:
             pass
         self._set_directions()

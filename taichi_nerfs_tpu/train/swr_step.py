@@ -74,10 +74,20 @@ class SwrTrainConfig:
     # content darker than white, the loss drives the rgb logits hard
     # negative before opacity forms and the color net saturates black
     # (measured: grayscale renders, MLP grads ~1e-33, ~15 dB cap on
-    # enclosed inside-camera scenes).  Assumes GT pixels are fully
-    # opaque (true for enclosed scenes; object-dataset silhouettes lose
-    # their alpha blend, as in the reference)
+    # enclosed inside-camera scenes).  For object datasets, pass the GT
+    # alpha channel to ``SwrTrainer`` (4th image channel) and the GT is
+    # re-composited over the same random background — without it the
+    # flag assumes GT pixels are fully opaque (enclosed scenes).  This
+    # is ALSO the dense path's floater killer on white-background object
+    # scenes: a whitish floater over background pixels costs ~zero MSE
+    # against a fixed white background (it matches the background), but
+    # full loss against a random one (reference --random_bg semantics,
+    # rendering.py:219-226)
     random_bg: bool = False
+    # direct opacity supervision: alpha_w * mean((opacity - gt_alpha)^2).
+    # Requires the GT alpha channel.  The blunt version of random_bg —
+    # carves exactly the pixels whose rays should be empty
+    alpha_w: float = 0.0
     # camera free-space carving (world units): voxels within this radius
     # of ANY training camera get sigma forced to 0 at bake time (train
     # and eval).  The watertight, per-voxel version of ``near`` — the
@@ -221,11 +231,14 @@ def make_swr_loss(
     c = tcfg.crop
     x0 = crop_xy[0]
     y0 = crop_xy[1]
+    n_ch = gt_image.shape[-1]  # 3 = rgb, 4 = rgba (GT alpha channel)
     gt = jax.lax.dynamic_slice(
-        gt_image, (y0, x0, jnp.int32(0)), (c, c, 3)
-    ).reshape(c * c, 3)
+        gt_image, (y0, x0, jnp.int32(0)), (c, c, n_ch)
+    ).reshape(c * c, n_ch)
     if gt.dtype == jnp.uint8:  # device images stay 8-bit (4x HBM saved)
         gt = gt.astype(jnp.float32) / 255.0
+    gt_alpha = gt[:, 3] if n_ch == 4 else None
+    gt = gt[:, :3]
     # crop intrinsics: principal point shifts by the crop offset
     K_crop = K.at[0, 2].add(-x0.astype(jnp.float32))
     K_crop = K_crop.at[1, 2].add(-y0.astype(jnp.float32))
@@ -270,12 +283,19 @@ def make_swr_loss(
             sweep_impl=tcfg.sweep_impl,
         )
         rgb_pred = out["rgb"]
+        gt_eff = gt
         if tcfg.random_bg:
             bg = jax.random.uniform(
                 jax.random.fold_in(k_tv, 17), (c * c, 3)
             )
             rgb_pred = rgb_pred + (1.0 - out["opacity"])[:, None] * bg
-        err = (rgb_pred - gt) ** 2
+            if gt_alpha is not None:
+                # re-composite the GT over the same random background:
+                # gt was stored composited over bg0 (white/black), so
+                # gt_on_bg = gt + (1 - alpha) * (bg - bg0)
+                bg0 = 1.0 if tcfg.white_bg else 0.0
+                gt_eff = gt + (1.0 - gt_alpha)[:, None] * (bg - bg0)
+        err = (rgb_pred - gt_eff) ** 2
         if inside:
             # mask to the face's pixels (same dirs as the renderer's
             # final warp, crop intrinsics)
@@ -301,6 +321,18 @@ def make_swr_loss(
         else:
             mse = jnp.mean(err)
         loss = mse
+        if tcfg.alpha_w > 0:
+            assert gt_alpha is not None, (
+                "alpha_w needs the GT alpha channel (SwrTrainer alphas=)"
+            )
+            a_err = (out["opacity"] - gt_alpha) ** 2
+            if inside:
+                a_mean = jnp.sum(a_err * mask) / jnp.maximum(
+                    jnp.sum(mask), 1.0
+                )
+            else:
+                a_mean = jnp.mean(a_err)
+            loss = loss + tcfg.alpha_w * a_mean
         if tcfg.distortion_w > 0:
             if inside:
                 dist = jnp.sum(out["distortion"] * mask) / jnp.maximum(
@@ -393,12 +425,18 @@ class SwrTrainer:
         img_wh: Tuple[int, int],
         seed: int = 23,
         mesh=None,
+        alphas: np.ndarray | None = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — trains crop-parallel
         data-parallel over its ``data`` axis (``--num_devices``,
         parallel/swr_shard.py): one crop per chip, params replicated,
         grads pmean over ICI.  The sweep's (axis, flip[, face]) are static
-        per program, so each sharded batch draws crops that share them."""
+        per program, so each sharded batch draws crops that share them.
+
+        ``alphas``: optional (N, H*W) GT opacity — packed as a 4th uint8
+        image channel; enables alpha-correct ``random_bg`` compositing
+        and ``alpha_w`` opacity supervision (the datasets' RGBA alpha,
+        which the reference blends away at load time)."""
         self.mesh = mesh
         self._sharded_steps = {}
         self.mcfg, self.tcfg = mcfg, tcfg
@@ -406,15 +444,19 @@ class SwrTrainer:
         # 8-bit on device: training data is 8-bit on disk anyway
         # (reference reads PNGs) and fp32 copies of a 100-view 800^2 rig
         # cost 768 MB of HBM; the crop slice upcasts in make_swr_loss
+        imgs_f = np.asarray(images, np.float32).reshape(-1, h, w, 3)
+        if alphas is not None:
+            imgs_f = np.concatenate(
+                [
+                    imgs_f,
+                    np.asarray(alphas, np.float32).reshape(-1, h, w, 1),
+                ],
+                axis=-1,
+            )
         self.images = jnp.asarray(
-            np.clip(
-                np.asarray(images, np.float32).reshape(-1, h, w, 3)
-                * 255.0
-                + 0.5,
-                0,
-                255,
-            ).astype(np.uint8)
+            np.clip(imgs_f * 255.0 + 0.5, 0, 255).astype(np.uint8)
         )
+        del imgs_f
         self.poses_np = np.asarray(poses, np.float32)
         self.poses = jnp.asarray(self.poses_np)
         self.K = jnp.asarray(K, jnp.float32)
