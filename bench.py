@@ -110,7 +110,7 @@ def bench_flagship(scene) -> float:
         if i == 15:
             early = tcfg.crop**2 / float(np.median(step_times[-6:]))
             _note(f"warmup 16 steps, early estimate {early:.0f} rays/s")
-            _emit(_record(early))
+            _emit(_record(early, provisional=True))
         if _elapsed() > BUDGET_S * 0.55 and i >= 15:
             _note(f"warmup cut at step {i + 1} (budget)")
             break
@@ -123,7 +123,7 @@ def bench_flagship(scene) -> float:
         m = trainer.run_step()
     float(m["loss"])
     provisional = tcfg.crop**2 * 30 / (time.perf_counter() - t0)
-    _emit(_record(provisional))
+    _emit(_record(provisional, provisional=True))
     _note(f"flagship provisional {provisional:.0f} rays/s")
 
     n_timed = 200 if _elapsed() < BUDGET_S - 180 else 60
@@ -160,20 +160,43 @@ def bench_parity(scene):
     float(m["loss"])
     warmup_step_s = (time.perf_counter() - t0) / 8
 
-    # settle: grid sparsification + cap adaptation (compiles new buckets)
-    n_settle = 55 if _elapsed() < BUDGET_S - 150 else 23
-    for _ in range(n_settle):
+    # SETTLE to steady state before timing (round-3 verdict: the timed
+    # window started inside the 256-step density-grid warmup and recorded
+    # the dense regime, 5x below steady state).  Steady state begins once
+    # the grid has sparsified (a few post-warmup refreshes,
+    # train.py:57-58 cadence semantics) and the adaptive sample caps have
+    # stopped recompiling buckets.
+    steady_from = cfg.train.warmup_steps + 3 * cfg.train.update_interval
+    regime = "steady"
+    while trainer.step < steady_from:
+        for _ in range(16):  # chunked dispatch; sync every 16 steps
+            m = trainer.run_step()
+        float(m["loss"])
+        if _elapsed() > BUDGET_S - 75.0:
+            regime = "warmup"  # budget forced timing inside the warmup
+            _note(f"settle cut at step {trainer.step} (budget)")
+            break
+
+    # recent per-step cost sizes the timed window
+    t0 = time.perf_counter()
+    for _ in range(8):
         m = trainer.run_step()
     float(m["loss"])
-
-    remaining = BUDGET_S - _elapsed() - 15.0
-    n_timed = int(max(16, min(64, remaining / max(warmup_step_s * 0.6, 0.05))))
+    recent_step_s = (time.perf_counter() - t0) / 8
+    remaining = BUDGET_S - _elapsed() - 20.0
+    n_timed = int(
+        max(16, min(200, remaining / max(recent_step_s, 0.02)))
+    )
     t0 = time.perf_counter()
     for _ in range(n_timed):
         m = trainer.run_step()
     float(m["loss"])
     rays = cfg.train.batch_size * n_timed / (time.perf_counter() - t0)
-    return rays, warmup_step_s
+    _note(
+        f"parity timed {n_timed} steps in regime={regime} "
+        f"({rays:.0f} rays/s)"
+    )
+    return rays, warmup_step_s, regime
 
 
 def _record(flagship: float, provisional: bool = False) -> dict:
@@ -185,6 +208,7 @@ def _record(flagship: float, provisional: bool = False) -> dict:
         "parity_rays_per_sec": None,
         "parity_vs_baseline": None,
         "parity_warmup_step_s": None,
+        "parity_regime": None,
     }
     if provisional:
         # early estimate (possibly compile-contaminated): the driver can
@@ -221,12 +245,13 @@ def main():
     record = _record(flagship)
     _emit(record)  # flagship lands even if the parity leg is cut off
 
-    parity, warmup_step_s = bench_parity(scene)
+    parity, warmup_step_s, regime = bench_parity(scene)
     watchdog.cancel()
     record.update(
         parity_rays_per_sec=round(parity, 1),
         parity_vs_baseline=round(parity / BASELINE, 3),
         parity_warmup_step_s=round(warmup_step_s, 3),
+        parity_regime=regime,
     )
     _emit(record)
 

@@ -193,7 +193,40 @@ def main():
     })
     os.makedirs("results", exist_ok=True)
     np.savez(os.path.join("results", "model_pyramid.npz"), **flat)
-    print("saved results/model_pyramid.npz", flush=True)
+    # record manifest: every number in docs/README must point at an
+    # artifact reproducible in one command (round-3 verdict item 7)
+    import hashlib
+    import subprocess
+
+    cfg_blob = json.dumps(
+        {"mcfg": repr(mcfg), "tcfg": repr(tcfg), "spec": spec},
+        sort_keys=True,
+    )
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+    except OSError:
+        commit = ""
+    manifest = {
+        "eval_psnr": round(float(np.mean(psnrs)), 3),
+        "eval_ssim": round(float(np.mean(ssims)), 4),
+        "per_view_psnr": [round(p, 2) for p in psnrs],
+        "views_finite": int(np.sum(np.isfinite(psnrs))),
+        "train_wall_s": round(train_wall, 1),
+        "steps": T,
+        "seed": 23,
+        "argv": __import__("sys").argv[1:],
+        "config_sha1": hashlib.sha1(cfg_blob.encode()).hexdigest()[:12],
+        "config": cfg_blob,
+        "git_commit": commit,
+        "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    with open(os.path.join("results", "model_pyramid.manifest.json"),
+              "w") as f:
+        json.dump(manifest, f, indent=2)
+    print("saved results/model_pyramid.npz (+ manifest)", flush=True)
 
 
 if __name__ == "__main__":

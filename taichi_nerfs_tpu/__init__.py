@@ -20,7 +20,18 @@ def compile_cache_dir() -> str:
     the cpuinfo flags turns that into a clean cache miss.  (TPU entries are
     keyed by the platform inside XLA, so sharing a dir per-host is fine.)
     """
-    base = _os.environ.get("TNERF_COMPILE_CACHE", "/tmp/jax_cache")
+    # default under the repo root, NOT /tmp: /tmp is wiped between CI
+    # rounds, and a cold cache costs ~190 s of XLA compiles on a 1-core
+    # host before the first train step runs (gitignored via .xla_cache/)
+    repo_default = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".xla_cache",
+    )
+    try:
+        _os.makedirs(repo_default, exist_ok=True)
+    except OSError:  # read-only install prefix: fall back to /tmp
+        repo_default = "/tmp/jax_cache"
+    base = _os.environ.get("TNERF_COMPILE_CACHE", repo_default)
     try:
         with open("/proc/cpuinfo") as f:
             flags = next(

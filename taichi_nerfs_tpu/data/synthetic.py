@@ -566,11 +566,20 @@ class SyntheticSphereDataset(BaseDataset):
             cache_dir, hashlib.sha1(key.encode()).hexdigest()[:16] + ".npz"
         )
         if os.path.exists(cache):
-            d = np.load(cache)
-            self.poses, self.rays = d["poses"], d["rays"]
-            self.alphas = d["alphas"]
-            self._set_directions()
-            return
+            try:
+                d = np.load(cache)
+                self.poses, self.rays = d["poses"], d["rays"]
+                self.alphas = d["alphas"]
+                self._set_directions()
+                return
+            except Exception:
+                # a process killed mid-write leaves a truncated zip;
+                # treat as a miss and rebuild (writes are atomic below,
+                # but entries from older versions may predate that)
+                try:
+                    os.remove(cache)
+                except OSError:
+                    pass
 
         rng = np.random.RandomState(0 if split == "train" else 1)
         poses, rays, alphas = [], [], []
@@ -617,9 +626,14 @@ class SyntheticSphereDataset(BaseDataset):
         self.alphas = np.stack(alphas)
         try:
             os.makedirs(cache_dir, exist_ok=True)
+            # atomic publish: a GT cache entry can be ~1 GB and take
+            # minutes to serialize — a kill mid-savez must not leave a
+            # truncated entry at the final name
+            tmp = cache + f".{os.getpid()}.tmp.npz"  # savez keeps .npz names
             np.savez(
-                cache, poses=self.poses, rays=self.rays, alphas=self.alphas
+                tmp, poses=self.poses, rays=self.rays, alphas=self.alphas
             )
+            os.replace(tmp, cache)
         except OSError:
             pass
         self._set_directions()

@@ -213,7 +213,12 @@ def render_swr_fixed_axis(
         ],
         axis=-1,
     ).reshape(-1, 3)
-    corner_w = corner_cam @ pose[:, :3].T  # (4, 3) world dirs
+    # (4, 3) world dirs.  HIGHEST: the slope bounds below divide by the
+    # axis component — at default TPU matmul precision (bf16 passes) a
+    # near-grazing corner rounds to 0 and the frame geometry blows up
+    corner_w = jnp.matmul(
+        corner_cam, pose[:, :3].T, precision=jax.lax.Precision.HIGHEST
+    )
     if inside:
         sign_face = jnp.float32(-1.0 if flip else 1.0)
         # near margin along the sweep axis: at least the camera's own
@@ -257,8 +262,18 @@ def render_swr_fixed_axis(
             sc_lo = jnp.where(one_face, jnp.min(sc_c), -1.05)
             sc_hi = jnp.where(one_face, jnp.max(sc_c), 1.05)
     else:
-        slope_b = corner_w[:, b_axis] / corner_w[:, axis]
-        slope_c = corner_w[:, c_axis] / corner_w[:, axis]
+        # guarded + clipped: a grazing corner (|d_axis| ~ 0) must widen
+        # the frame to a bounded cone, not to an inf/NaN lattice; valid
+        # outside-camera slopes sit well inside +-4 (dominant axis), so
+        # the clip only tames degenerate poses
+        d_a_c = corner_w[:, axis]
+        d_a_c = jnp.where(
+            jnp.abs(d_a_c) < 1e-6,
+            jnp.where(d_a_c >= 0, 1e-6, -1e-6),
+            d_a_c,
+        )
+        slope_b = jnp.clip(corner_w[:, b_axis] / d_a_c, -4.0, 4.0)
+        slope_c = jnp.clip(corner_w[:, c_axis] / d_a_c, -4.0, 4.0)
         sb_lo, sb_hi = jnp.min(slope_b), jnp.max(slope_b)
         sc_lo, sc_hi = jnp.min(slope_c), jnp.max(slope_c)
 
@@ -677,14 +692,32 @@ def render_swr_fixed_axis(
         ],
         axis=-1,
     )  # (h, w, 3)
-    dir_w = jnp.einsum("ij,hwj->hwi", pose[:, :3], dir_cam)
+    # HIGHEST: the default TPU f32 matmul runs bf16 passes; with ~8 bits
+    # of mantissa a near-grazing pixel's axis component rounds to 0 (or
+    # flips sign), and the division below turns one eval view into NaNs
+    # (finite on CPU — the round-3 open bug).  This 3x3 contraction is
+    # free at full precision.
+    dir_w = jnp.einsum(
+        "ij,hwj->hwi",
+        pose[:, :3],
+        dir_cam,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     da = dir_w[..., axis]
-    t_hit = (z_g - o_a) / da
+    # grazing rays (|da| ~ 0) cross the slab stack near-parallel — the
+    # sweep cannot represent them; guard the division (sign-preserving)
+    # and fold them into the invalid mask instead of letting inf * 0
+    # produce NaN lattice coords
+    grazing = jnp.abs(da) < 1e-6
+    da_safe = jnp.where(grazing, jnp.where(da >= 0, 1e-6, -1e-6), da)
+    t_hit = (z_g - o_a) / da_safe
     pb = o_b + t_hit * dir_w[..., b_axis]
     pc = o_c + t_hit * dir_w[..., c_axis]
-    li = (pb - g_b0) / g_db
-    lj = (pc - g_c0) / g_dc
-    behind = t_hit <= 0.0
+    # valid pixels land inside the global frame by construction; clipping
+    # only tames the guarded-grazing ones before the int32 cast
+    li = jnp.clip((pb - g_b0) / g_db, -1.0, float(nq))
+    lj = jnp.clip((pc - g_c0) / g_dc, -1.0, float(nq))
+    behind = (t_hit <= 0.0) | grazing
 
     img_ch = [acc_g, depth_g[..., None], (1.0 - t_g)[..., None]]
     if want_distortion:

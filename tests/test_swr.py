@@ -683,6 +683,53 @@ def test_swr_lat_cap_quality(setup):
     assert psnr > 30.0, f"lat-capped render diverges: psnr={psnr:.2f}"
 
 
+def _grazing_pose_setup(w=64, h=64):
+    """Pose class behind the round-3 TPU NaN eval view: a wide-fov
+    camera whose sweep axis is only barely dominant, so edge pixels'
+    ray direction component along the sweep axis crosses ~0 (grazing).
+    The final warp divides by that component (render/swr.py t_hit);
+    before the guard, bf16 matmul rounding on TPU turned it into exactly
+    0 and one view rendered NaN (docs/status_r3.md:100-102)."""
+    # axis-1 component barely beats axis-2: the view cone spans da = 0
+    eye = 1.3 * np.array([0.0, 0.7072, 0.7070])
+    pose = look_at(
+        eye, np.zeros(3), np.array([1.0, 0.0, 0.0])
+    ).astype(np.float64)
+    focal = 0.45 * w  # half-fov ~48 deg; corners ~58 deg off-center
+    K = np.array(
+        [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32
+    )
+    # verify the pose class analytically: some pixel's |d_axis| ~ 0
+    axis = int(np.argmax(np.abs(pose[:, 2])))
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    dc = np.stack(
+        [
+            (uu.ravel() - K[0, 2] + 0.5) / K[0, 0],
+            (vv.ravel() - K[1, 2] + 0.5) / K[1, 1],
+            np.ones(w * h),
+        ],
+        axis=1,
+    )
+    da = (dc @ pose[:, :3].T)[:, axis]
+    assert np.min(np.abs(da)) < 2e-2, "pose no longer grazing"
+    assert np.min(da) < 0 < np.max(da), "da must cross zero in-view"
+    return pose, K, (w, h)
+
+
+def test_swr_grazing_pose_finite(setup):
+    """Regression (round-3 verdict item 2): grazing-pixel poses must
+    render finite everywhere, with the degenerate pixels composited to
+    background rather than NaN."""
+    cfg, params, grid = setup
+    pose, K, wh = _grazing_pose_setup()
+    out = render_swr(params, grid, cfg, pose, K, wh, n_chunks=8)
+    for k in ("rgb", "depth", "opacity"):
+        arr = np.asarray(out[k])
+        assert np.all(np.isfinite(arr)), f"{k} has non-finite values"
+    # non-grazing central pixels still see the blob
+    assert float(np.max(np.asarray(out["opacity"]))) > 0.3
+
+
 def test_pyramid_lean_fine_level():
     """A lean finest level (level_features) bakes exactly like a full
     level whose trailing channels are zero, and trains (has grads)."""

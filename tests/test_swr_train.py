@@ -201,6 +201,48 @@ def test_swr_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_swr_alpha_supervision():
+    """GT alpha channel wiring: with alphas= the trainer packs RGBA,
+    random_bg re-composites GT over the random background, and alpha_w
+    drives rendered opacity toward the GT silhouette (floater carving,
+    reference rendering.py:219-226 --random_bg semantics extended with
+    the alpha the reference blends away at load)."""
+    scene = SyntheticSphereDataset(n_images=8, img_wh=(32, 32))
+    assert scene.alphas.shape == scene.rays.shape[:2]
+    assert 0.05 < scene.alphas.mean() < 0.95  # silhouette, not constant
+    mcfg = PyramidConfig(
+        resolutions=(8, 16), features=4, rgb_width=16, scale=0.5
+    )
+    tcfg = SwrTrainConfig(
+        crop=32, lr=5e-2, max_steps=60, n_chunks=4, sigma_l1=0.0,
+        random_bg=True, alpha_w=0.1,
+    )
+    trainer = SwrTrainer(
+        mcfg, tcfg, scene.rays, scene.poses, scene.K, scene.img_wh,
+        alphas=scene.alphas,
+    )
+    assert trainer.images.shape[-1] == 4  # RGBA packed on device
+    first = None
+    m = None
+    for _ in range(60):
+        m = trainer.run_step()
+        if first is None:
+            first = float(jax.device_get(m["loss"]))
+    last = float(jax.device_get(m["loss"]))
+    assert np.isfinite(last)
+    assert last < first, f"no learning with alpha_w: {first} -> {last}"
+    # the rendered opacity should track the GT silhouette: empty-ray
+    # pixels (alpha 0) must stay near-transparent
+    out = trainer.render(scene.poses[0])
+    opac = np.asarray(out["opacity"]).reshape(-1)
+    gt_a = np.asarray(scene.alphas[0])
+    empty = gt_a < 0.05
+    assert empty.any()
+    assert float(opac[empty].mean()) < 0.25, (
+        f"empty rays opaque: {opac[empty].mean():.3f}"
+    )
+
+
 def test_camera_keep_mask_oracle():
     """camera_keep_mask zeroes exactly the voxels within the carve radius
     of some training camera (voxel centers, world coords)."""

@@ -118,3 +118,47 @@ print("flagship-smoke-ok", losses)
     res = _run_tpu(code)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "flagship-smoke-ok" in res.stdout
+
+
+def test_tpu_grazing_pose_finite():
+    """Regression for the round-3 open bug: one eval view rendered NaN
+    on TPU (finite on CPU).  Root cause: the final warp divides by the
+    pixel direction's sweep-axis component, computed by a default-
+    precision (bf16-pass) TPU matmul — grazing pixels rounded to exactly
+    0 and inf*0 leaked NaN into the lattice coords (render/swr.py
+    t_hit).  Renders the grazing pose class from tests/test_swr.py on
+    the REAL chip at eval-like resolution and asserts finiteness."""
+    _require_tpu()
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from taichi_nerfs_tpu.data.synthetic import look_at
+from taichi_nerfs_tpu.models import pyramid as pyr
+from taichi_nerfs_tpu.render.swr import render_swr
+
+cfg = pyr.PyramidConfig(resolutions=(16, 32), features=4, rgb_width=16,
+                        scale=0.5, sigma_bias=0.0)
+params = pyr.init_pyramid_params(jax.random.PRNGKey(0), cfg)
+R = cfg.grid_res
+c = (jnp.arange(R) + 0.5) / R - 0.5
+xx, yy, zz = jnp.meshgrid(c, c, c, indexing="ij")
+r = jnp.sqrt(xx**2 + yy**2 + zz**2)
+# near-ceiling density (the failing view carried a sigma ~ e^9 floater)
+params["levels"][1] = params["levels"][1].at[..., 0].add(
+    8000.0 * jnp.exp(-((r / 0.25) ** 2)))
+grid = pyr.bake(params, cfg)
+
+w = h = 400
+eye = 1.3 * np.array([0.0, 0.7072, 0.7070])
+pose = look_at(eye, np.zeros(3), np.array([1.0, 0.0, 0.0])).astype(np.float64)
+focal = 0.45 * w
+K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]], np.float32)
+out = render_swr(params, grid, cfg, pose, K, (w, h), n_chunks=8)
+for k in ("rgb", "depth", "opacity"):
+    a = np.asarray(out[k])
+    assert np.all(np.isfinite(a)), (k, int(np.sum(~np.isfinite(a))))
+assert float(np.max(np.asarray(out["opacity"]))) > 0.3
+print("grazing-smoke-ok")
+"""
+    res = _run_tpu(code)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "grazing-smoke-ok" in res.stdout
