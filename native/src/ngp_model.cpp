@@ -41,6 +41,7 @@ DeployConfig DeployConfig::FromJsonFile(const std::string& path) {
   c.xyz_width = static_cast<int>(j.Num("xyz_width", c.xyz_width));
   c.xyz_out = static_cast<int>(j.Num("xyz_out", c.xyz_out));
   c.rgb_width = static_cast<int>(j.Num("rgb_width", c.rgb_width));
+  c.rgb_depth = static_cast<int>(j.Num("rgb_depth", c.rgb_depth));
   c.exp_step_factor =
       static_cast<float>(j.Num("exp_step_factor", c.exp_step_factor));
   c.t_threshold = static_cast<float>(j.Num("t_threshold", c.t_threshold));
@@ -85,17 +86,27 @@ NgpModel::NgpModel(const std::string& dir) {
   xyz_w0_.assign(sw.begin(), sw.begin() + n0);
   xyz_w1_.assign(sw.begin() + n0, sw.end());
 
-  // rgb net: w0 (W, 16+xyz_out), w1 (W, W), w2 padded (W, W); 3 live rows
+  // rgb net: w0 (W, 16+xyz_out), rgb_depth-1 hidden (W, W), then the
+  // zero-padded square output (W, W; 3 live rows, utils.py:231-233)
   std::vector<float> rw = ReadTaggedFile(dir + "/rgb_weights.bin").AsFloat();
   int rin = 16 + cfg_.xyz_out;
-  size_t r0 = static_cast<size_t>(cfg_.rgb_width) * rin;
-  size_t r1 = static_cast<size_t>(cfg_.rgb_width) * cfg_.rgb_width;
-  size_t r2 = r1;  // zero-padded square (utils.py:231-233)
-  if (rw.size() != r0 + r1 + r2)
+  size_t hw = static_cast<size_t>(cfg_.rgb_width) * cfg_.rgb_width;
+  size_t want = static_cast<size_t>(cfg_.rgb_width) * rin +
+                static_cast<size_t>(cfg_.rgb_depth - 1) * hw + hw;
+  if (rw.size() != want)
     throw std::runtime_error("rgb weights size mismatch");
-  rgb_w0_.assign(rw.begin(), rw.begin() + r0);
-  rgb_w1_.assign(rw.begin() + r0, rw.begin() + r0 + r1);
-  rgb_w2_.assign(rw.begin() + r0 + r1, rw.end());
+  rgb_w_.clear();
+  size_t off = 0;
+  for (int d = 0; d <= cfg_.rgb_depth; ++d) {
+    size_t n = (d == 0) ? static_cast<size_t>(cfg_.rgb_width) * rin : hw;
+    rgb_w_.emplace_back(rw.begin() + off, rw.begin() + off + n);
+    off += n;
+  }
+
+  if (cfg_.xyz_width > 128 || cfg_.rgb_width > 128 ||
+      cfg_.xyz_out > 112 || cfg_.levels * cfg_.feat_per_level > 128 ||
+      cfg_.levels > 16)
+    throw std::runtime_error("MLP width exceeds the stack scratch bound");
 
   // bitfield: uint8 per 8 cells (cascades * grid^3 / 8 bytes)
   TaggedTensor bf = ReadTaggedFile(dir + "/density_bitfield.bin");
@@ -104,6 +115,15 @@ NgpModel::NgpModel(const std::string& dir) {
 
 void NgpModel::HashEncode(const float* x01, float* out) const {
   int F = cfg_.feat_per_level;
+  // two passes: compute ALL corner rows first and software-prefetch
+  // them, then accumulate.  The gathers are random across a table far
+  // bigger than L2, so the encode is DRAM-latency-bound; issuing the
+  // 8*levels misses concurrently instead of serially is the CPU
+  // analogue of the coalesced gather the reference tunes block_dim for
+  // (hash_encoder.py:82-87)
+  const float* entries[128];  // levels (<= 16, checked at load) x 8
+  float weights[128];
+  int n = 0;
   for (size_t lv = 0; lv < levels_.size(); ++lv) {
     const LevelInfo& L = levels_[lv];
     float pos[3], frac[3];
@@ -132,41 +152,59 @@ void NgpModel::HashEncode(const float* x01, float* out) const {
       }
       int64_t idx = L.offset + static_cast<int64_t>(h % L.map_size);
       const float* entry = hash_table_.data() + idx * F;
+      __builtin_prefetch(entry, 0, 0);
+      entries[n] = entry;
+      weights[n] = w;
+      ++n;
+    }
+  }
+  n = 0;
+  for (size_t lv = 0; lv < levels_.size(); ++lv) {
+    for (int c = 0; c < 8; ++c, ++n) {
+      const float* entry = entries[n];
+      float w = weights[n];
       for (int f = 0; f < F; ++f) out[lv * F + f] += w * entry[f];
     }
   }
 }
 
+// stack scratch bound for MLP activations: no per-sample heap traffic
+// in the innermost loop (this fn runs once per live sample)
+static constexpr int kMaxWidth = 128;
+
 void NgpModel::EvalMlp(const float* feat, const float* dir, float* sigma,
                        float* rgb) const {
   int in0 = cfg_.levels * cfg_.feat_per_level;
-  std::vector<float> h0(static_cast<size_t>(cfg_.xyz_width));
-  std::vector<float> geo(static_cast<size_t>(cfg_.xyz_out));
-  MatVec(xyz_w0_.data(), feat, h0.data(), cfg_.xyz_width, in0);
-  for (auto& v : h0) v = Relu(v);
-  MatVec(xyz_w1_.data(), h0.data(), geo.data(), cfg_.xyz_out, cfg_.xyz_width);
+  float h0[kMaxWidth];
+  float geo[kMaxWidth];
+  MatVec(xyz_w0_.data(), feat, h0, cfg_.xyz_width, in0);
+  for (int i = 0; i < cfg_.xyz_width; ++i) h0[i] = Relu(h0[i]);
+  MatVec(xyz_w1_.data(), h0, geo, cfg_.xyz_out, cfg_.xyz_width);
   *sigma = std::exp(std::min(geo[0], 15.0f));
 
   // rgb net input: [SH16((d+1)/2), geo]
   float dn[3] = {(dir[0] + 1.0f) * 0.5f, (dir[1] + 1.0f) * 0.5f,
                  (dir[2] + 1.0f) * 0.5f};
-  std::vector<float> rin(static_cast<size_t>(16 + cfg_.xyz_out));
-  Sh16(dn, rin.data());
-  std::memcpy(rin.data() + 16, geo.data(),
+  float rin[kMaxWidth];
+  Sh16(dn, rin);
+  std::memcpy(rin + 16, geo,
               sizeof(float) * static_cast<size_t>(cfg_.xyz_out));
-  std::vector<float> r0(static_cast<size_t>(cfg_.rgb_width));
-  std::vector<float> r1(static_cast<size_t>(cfg_.rgb_width));
-  MatVec(rgb_w0_.data(), rin.data(), r0.data(), cfg_.rgb_width,
-         16 + cfg_.xyz_out);
-  for (auto& v : r0) v = Relu(v);
-  MatVec(rgb_w1_.data(), r0.data(), r1.data(), cfg_.rgb_width,
-         cfg_.rgb_width);
-  for (auto& v : r1) v = Relu(v);
+  float ha[kMaxWidth];
+  float hb[kMaxWidth];
+  MatVec(rgb_w_[0].data(), rin, ha, cfg_.rgb_width, 16 + cfg_.xyz_out);
+  for (int i = 0; i < cfg_.rgb_width; ++i) ha[i] = Relu(ha[i]);
+  float* cur = ha;
+  float* nxt = hb;
+  for (int d = 1; d < cfg_.rgb_depth; ++d) {
+    MatVec(rgb_w_[d].data(), cur, nxt, cfg_.rgb_width, cfg_.rgb_width);
+    for (int i = 0; i < cfg_.rgb_width; ++i) nxt[i] = Relu(nxt[i]);
+    std::swap(cur, nxt);
+  }
+  const std::vector<float>& wout = rgb_w_.back();
   for (int o = 0; o < 3; ++o) {
-    const float* row =
-        rgb_w2_.data() + static_cast<int64_t>(o) * cfg_.rgb_width;
+    const float* row = wout.data() + static_cast<int64_t>(o) * cfg_.rgb_width;
     float acc = 0;
-    for (int i = 0; i < cfg_.rgb_width; ++i) acc += row[i] * r1[i];
+    for (int i = 0; i < cfg_.rgb_width; ++i) acc += row[i] * cur[i];
     rgb[o] = Sigmoid(acc);
   }
 }
@@ -228,8 +266,7 @@ void NgpModel::RenderRay(float ox, float oy, float oz, float dx, float dy,
   float T = 1.0f;
   float acc[3] = {0, 0, 0};
   int samples = 0;
-  std::vector<float> feat(
-      static_cast<size_t>(cfg_.levels * cfg_.feat_per_level));
+  float feat[kMaxWidth];
   while (t < t2 && samples < cfg_.max_samples && T > cfg_.t_threshold) {
     float dt = std::min(std::max(t * cfg_.exp_step_factor, dt_min), dt_max);
     float xyz[3] = {ox + t * dx, oy + t * dy, oz + t * dz};
@@ -237,9 +274,9 @@ void NgpModel::RenderRay(float ox, float oy, float oz, float dx, float dy,
       float x01[3];
       for (int a = 0; a < 3; ++a)
         x01[a] = (xyz[a] + cfg_.scale) / (2.0f * cfg_.scale);
-      HashEncode(x01, feat.data());
+      HashEncode(x01, feat);
       float sigma, rgb[3];
-      EvalMlp(feat.data(), d, &sigma, rgb);
+      EvalMlp(feat, d, &sigma, rgb);
       float alpha = 1.0f - std::exp(-sigma * dt);
       float w = alpha * T;
       for (int a = 0; a < 3; ++a) acc[a] += w * rgb[a];

@@ -27,10 +27,13 @@ struct DeployConfig {
   int log2_T = 19;
   float base_res = 16.0f;
   float log_b = 0.0f;  // per-level scale exponent
-  // MLPs (widths; depth fixed by the reference architecture)
+  // MLPs (widths + rgb hidden depth; the default config uses depth 2,
+  // the mobile deployment config depth 1 — networks.py:111-132 vs
+  // train.py:88-100)
   int xyz_width = 64;
   int xyz_out = 16;
   int rgb_width = 64;
+  int rgb_depth = 2;
   float exp_step_factor = 0.0f;
   float t_threshold = 1e-2f;
   int max_samples = 1024;
@@ -76,7 +79,9 @@ class NgpModel {
   std::vector<LevelInfo> levels_;
   std::vector<float> hash_table_;      // (n_entries, F) interleaved
   std::vector<float> xyz_w0_, xyz_w1_;  // torch (out, in) layout
-  std::vector<float> rgb_w0_, rgb_w1_, rgb_w2_;
+  // rgb chain: w[0] (W, 16+xyz_out), w[1..depth-1] (W, W), then the
+  // zero-padded square output matrix (W, W; 3 live rows)
+  std::vector<std::vector<float>> rgb_w_;
   std::vector<uint8_t> bitfield_;
 };
 

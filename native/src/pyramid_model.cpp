@@ -46,6 +46,33 @@ PyramidModel::PyramidModel(const std::string& dir) {
       static_cast<int>(rgb_w1_.size()) != cfg_.rgb_width * cfg_.rgb_width ||
       static_cast<int>(rgb_w2_.size()) != 3 * cfg_.rgb_width)
     throw std::runtime_error("rgb mlp weight size mismatch");
+  if (cfg_.rgb_width > 160 || cfg_.features > 64 || in0 > 160)
+    throw std::runtime_error("MLP width exceeds the stack scratch bound");
+
+  // build the macro-occupancy grid: block (bx,by,bz) is live when any
+  // cell within one cell of the block has sigma above threshold (the
+  // dilation covers the trilinear footprint, so skipped blocks are
+  // exactly zero-contribution)
+  int R = cfg_.grid_res, F = cfg_.features;
+  occ_res_ = (R + 7) / 8;
+  occ_.assign(static_cast<size_t>(occ_res_) * occ_res_ * occ_res_, 0);
+  const float kSigmaEps = 1e-4f;
+  for (int x = 0; x < R; ++x)
+    for (int y = 0; y < R; ++y) {
+      const float* row =
+          grid_.data() + ((static_cast<int64_t>(x) * R + y) * R) * F;
+      for (int z = 0; z < R; ++z) {
+        if (row[static_cast<int64_t>(z) * F] <= kSigmaEps) continue;
+        int bx0 = std::max(x - 1, 0) / 8, bx1 = std::min(x + 1, R - 1) / 8;
+        int by0 = std::max(y - 1, 0) / 8, by1 = std::min(y + 1, R - 1) / 8;
+        int bz0 = std::max(z - 1, 0) / 8, bz1 = std::min(z + 1, R - 1) / 8;
+        for (int bx = bx0; bx <= bx1; ++bx)
+          for (int by = by0; by <= by1; ++by)
+            for (int bz = bz0; bz <= bz1; ++bz)
+              occ_[(static_cast<size_t>(bx) * occ_res_ + by) * occ_res_ +
+                   bz] = 1;
+      }
+    }
 }
 
 // Trilinear sample of the baked grid; voxel centers at -s + (i+0.5)h,
@@ -78,23 +105,25 @@ void PyramidModel::SampleGrid(const std::array<float, 3>& xyz,
       }
 }
 
+// stack scratch bound (no per-pixel heap traffic; checked at load)
+static constexpr int kMaxW = 160;
+
 void PyramidModel::ShadePixel(const float* feat_acc, float opacity,
                               const float* dir, float* rgb) const {
   int nf = cfg_.features - 1;
   int in0 = 16 + nf;
-  std::vector<float> rin(static_cast<size_t>(in0));
+  float rin[kMaxW];
   float dn[3] = {(dir[0] + 1.0f) * 0.5f, (dir[1] + 1.0f) * 0.5f,
                  (dir[2] + 1.0f) * 0.5f};
-  Sh16(dn, rin.data());
+  Sh16(dn, rin);
   float inv_op = 1.0f / std::max(opacity, 1e-6f);
   for (int f = 0; f < nf; ++f) rin[16 + f] = feat_acc[f] * inv_op;
-  std::vector<float> h0(static_cast<size_t>(cfg_.rgb_width));
-  std::vector<float> h1(static_cast<size_t>(cfg_.rgb_width));
-  MatVec(rgb_w0_.data(), rin.data(), h0.data(), cfg_.rgb_width, in0);
-  for (auto& v : h0) v = Relu(v);
-  MatVec(rgb_w1_.data(), h0.data(), h1.data(), cfg_.rgb_width,
-         cfg_.rgb_width);
-  for (auto& v : h1) v = Relu(v);
+  float h0[kMaxW];
+  float h1[kMaxW];
+  MatVec(rgb_w0_.data(), rin, h0, cfg_.rgb_width, in0);
+  for (int i = 0; i < cfg_.rgb_width; ++i) h0[i] = Relu(h0[i]);
+  MatVec(rgb_w1_.data(), h0, h1, cfg_.rgb_width, cfg_.rgb_width);
+  for (int i = 0; i < cfg_.rgb_width; ++i) h1[i] = Relu(h1[i]);
   for (int o = 0; o < 3; ++o) {
     const float* row =
         rgb_w2_.data() + static_cast<int64_t>(o) * cfg_.rgb_width;
@@ -120,17 +149,43 @@ void PyramidModel::RenderRay(float ox, float oy, float oz, float dx,
     t1 = std::min(t1, tb);
   }
   int nf = F - 1;
-  std::vector<float> feat_acc(static_cast<size_t>(nf), 0.0f);
-  std::vector<float> sample(static_cast<size_t>(F));
+  float feat_acc[64] = {0};
+  float sample[64];
   float T = 1.0f;
   if (t0 < t1) {
     // one sample per grid-cell width along the ray — matches the sweep's
     // per-slab quadrature density
     float dt = 2.0f * s / cfg_.grid_res;
+    float macro_h = 8.0f * dt;  // world size of an occupancy block
     for (float t = t0 + 0.5f * dt; t < t1 && T > cfg_.t_threshold;
          t += dt) {
       std::array<float, 3> p = {ox + t * dx, oy + t * dy, oz + t * dz};
-      SampleGrid(p, sample.data());
+      // macro-occupancy skip: jump empty 8^3 blocks to their exit plane
+      int bx = static_cast<int>((p[0] + s) / macro_h);
+      int by = static_cast<int>((p[1] + s) / macro_h);
+      int bz = static_cast<int>((p[2] + s) / macro_h);
+      bx = std::min(std::max(bx, 0), occ_res_ - 1);
+      by = std::min(std::max(by, 0), occ_res_ - 1);
+      bz = std::min(std::max(bz, 0), occ_res_ - 1);
+      if (!occ_[(static_cast<size_t>(bx) * occ_res_ + by) * occ_res_ +
+                bz]) {
+        // distance to the block's exit along the ray (slab test within
+        // the block's bounds), then resume on the next dt lattice point
+        float texit = 1e9f;
+        const int bidx[3] = {bx, by, bz};
+        for (int a = 0; a < 3; ++a) {
+          if (std::abs(d[a]) < 1e-9f) continue;
+          float lo = -s + bidx[a] * macro_h, hi = lo + macro_h;
+          float te = ((d[a] > 0 ? hi : lo) - p[a]) / d[a];
+          texit = std::min(texit, te);
+        }
+        if (texit > 1e8f) texit = dt;  // degenerate direction
+        // snap forward so the next iteration lands past the exit
+        float skip = std::max(texit, 0.0f);
+        t += std::floor(skip / dt) * dt;
+        continue;
+      }
+      SampleGrid(p, sample);
       float sigma = std::max(sample[0], 0.0f);
       if (sigma <= 0.0f) continue;
       float alpha = 1.0f - std::exp(-sigma * dt);
@@ -140,7 +195,7 @@ void PyramidModel::RenderRay(float ox, float oy, float oz, float dx,
     }
   }
   float opacity = 1.0f - T;
-  ShadePixel(feat_acc.data(), opacity, d, rgb_out);
+  ShadePixel(feat_acc, opacity, d, rgb_out);
   if (cfg_.white_bg)
     for (int c = 0; c < 3; ++c) rgb_out[c] += T;
 }

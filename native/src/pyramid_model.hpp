@@ -54,6 +54,12 @@ class PyramidModel {
 
   PyramidDeployConfig cfg_;
   std::vector<float> grid_;  // (R, R, R, F), x-major like the export
+  // macro-occupancy: one byte per 8^3 cell block (dilated by one cell
+  // for the trilinear footprint); empty blocks are skipped by the ray
+  // march — the role the reference's density bitfield plays for its
+  // marcher (modules/ray_march.py:60-74)
+  std::vector<uint8_t> occ_;
+  int occ_res_ = 0;  // ceil(R / 8)
   std::vector<float> rgb_w0_, rgb_w1_, rgb_w2_;  // torch (out, in) layout
 };
 

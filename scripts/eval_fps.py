@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--res", type=int, default=800)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--sweep_impl", default="auto")
+    ap.add_argument("--early_exit", type=float, default=0.0,
+                    help="transmittance threshold for chunk-level early "
+                         "termination (reference T_threshold semantics; "
+                         "0 = exact full sweep)")
     args = ap.parse_args()
 
     import jax
@@ -69,6 +73,7 @@ def main():
         t = Rm @ np.array([0, 0, 1.6], np.float32)
         return np.concatenate([Rm @ base, t[:, None]], axis=1)
 
+    ee = args.early_exit
     for name, cap in (("capped(1.25R)", int(1.25 * R) + 16),
                       ("uncapped", None)):
         # warm the (axis, flip) programs on the orbit
@@ -77,7 +82,7 @@ def main():
             out = render_swr(
                 params, grid, cfg, pose_at(90.0 * f), K, (w, h),
                 lat_cap=cap, skip_empty=False,
-                sweep_impl=args.sweep_impl,
+                sweep_impl=args.sweep_impl, early_exit=ee,
             )
         float(jnp.sum(out["rgb"][:1]))
         t0 = time.perf_counter()
@@ -85,7 +90,7 @@ def main():
             out = render_swr(
                 params, grid, cfg, pose_at(90.0 * (f % 4)), K, (w, h),
                 lat_cap=cap, skip_empty=False,
-                sweep_impl=args.sweep_impl,
+                sweep_impl=args.sweep_impl, early_exit=ee,
             )
         float(jnp.sum(out["rgb"][:1]))
         ms = (time.perf_counter() - t0) / args.frames * 1e3

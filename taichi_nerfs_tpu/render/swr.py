@@ -66,6 +66,7 @@ from ..ops.warp import (
         "inside",
         "near",
         "sweep_impl",
+        "early_exit",
     ),
 )
 def render_swr_fixed_axis(
@@ -91,6 +92,7 @@ def render_swr_fixed_axis(
     slope_bounds: jnp.ndarray | None = None,
     near: float = 0.0,
     sweep_impl: str = "auto",
+    early_exit: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
     """Render with a statically chosen sweep axis/direction.
 
@@ -147,7 +149,18 @@ def render_swr_fixed_axis(
             ``lax.scan`` otherwise; "xla" forces the scan; "pallas"
             forces the kernel (asserts scope); "pallas_interpret" runs
             the kernel in interpreter mode (CPU tests).
+        early_exit: transmittance threshold for chunk-level early
+            termination (eval-only, like the reference test path's
+            ``T_threshold`` kill, modules/volume_render_test.py:23-49):
+            when every pixel's remaining transmittance falls below it,
+            the remaining (farther) chunks are never swept.  0 disables.
+            The error of the dropped tail is bounded by the threshold.
+            Unsupported (asserted) with distortion / debug frames — it
+            is a no-grad rendering optimization.
     """
+    assert early_exit == 0.0 or not (want_distortion or debug_frames), (
+        "early_exit is eval-only: no distortion / debug frames"
+    )
     s = cfg.scale
     R = cfg.grid_res
     F = cfg.features
@@ -262,18 +275,22 @@ def render_swr_fixed_axis(
             sc_lo = jnp.where(one_face, jnp.min(sc_c), -1.05)
             sc_hi = jnp.where(one_face, jnp.max(sc_c), 1.05)
     else:
-        # guarded + clipped: a grazing corner (|d_axis| ~ 0) must widen
-        # the frame to a bounded cone, not to an inf/NaN lattice; valid
-        # outside-camera slopes sit well inside +-4 (dominant axis), so
-        # the clip only tames degenerate poses
+        # division guard ONLY — large slopes are legitimate geometry
+        # (wide-fov views with a barely-dominant axis need frames many
+        # cube-widths wide to cover their corner rays; clipping the
+        # slopes shrinks the frame and silently blacks out everything
+        # outside it).  The guard exists purely so a corner component
+        # that is *exactly* 0 (possible on TPU before the HIGHEST-
+        # precision corner matmul above, measure-zero after) cannot
+        # produce inf/NaN frame geometry.
         d_a_c = corner_w[:, axis]
         d_a_c = jnp.where(
-            jnp.abs(d_a_c) < 1e-6,
-            jnp.where(d_a_c >= 0, 1e-6, -1e-6),
+            jnp.abs(d_a_c) < 1e-12,
+            jnp.where(d_a_c >= 0, 1e-12, -1e-12),
             d_a_c,
         )
-        slope_b = jnp.clip(corner_w[:, b_axis] / d_a_c, -4.0, 4.0)
-        slope_c = jnp.clip(corner_w[:, c_axis] / d_a_c, -4.0, 4.0)
+        slope_b = corner_w[:, b_axis] / d_a_c
+        slope_c = corner_w[:, c_axis] / d_a_c
         sb_lo, sb_hi = jnp.min(slope_b), jnp.max(slope_b)
         sc_lo, sc_hi = jnp.min(slope_c), jnp.max(slope_c)
 
@@ -634,10 +651,6 @@ def render_swr_fixed_axis(
             ],
             axis=-1,
         )  # (n_chunks, 6)
-        frames = chunk_sweep(
-            vol_c, rs_par, z_rel, ch_par, nq, rs_dtype, pallas_interp
-        )  # (n_chunks, F+2, nq, nq)
-
         def fold_body(carry, inp):
             acc_g, depth_g, t_g = carry
             packed = inp["fr"][: acc_ch + 2]
@@ -657,15 +670,60 @@ def render_swr_fixed_axis(
             t_g = t_g * (1.0 - packed[acc_ch + 1])
             return (acc_g, depth_g, t_g), None
 
-        (acc_g, depth_g, t_g), _ = jax.lax.scan(
-            fold_body,
-            init_g,
-            {
-                "fr": frames,
-                "z": z_ref_c,
-                "fb": (fb0_c, fdb_c, fc0_c, fdc_c),
-            },
-        )
+        if early_exit > 0.0:
+            # chunk-level early termination: sweep one chunk at a time
+            # (front-to-back) and stop once every pixel is saturated —
+            # the farther chunks are never swept at all.  The fused
+            # kernel makes per-chunk dispatch cheap; a converged opaque
+            # scene typically saturates after the surface chunk, saving
+            # the back half of the grid.
+            def ee_cond(c):
+                g = c[0]
+                t_g = c[3]
+                return (g < n_chunks) & (jnp.max(t_g) > early_exit)
+
+            def ee_body(c):
+                g, acc_g, depth_g, t_g = c
+
+                def sl(x):
+                    return jax.lax.dynamic_slice_in_dim(x, g, 1, axis=0)
+
+                fr = chunk_sweep(
+                    sl(vol_c), sl(rs_par), sl(z_rel), sl(ch_par),
+                    nq, rs_dtype, pallas_interp,
+                )[0]
+                idx = lambda x: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                    x, g, axis=0, keepdims=False
+                )
+                (acc_g, depth_g, t_g), _ = fold_body(
+                    (acc_g, depth_g, t_g),
+                    {
+                        "fr": fr,
+                        "z": idx(z_ref_c),
+                        "fb": (
+                            idx(fb0_c), idx(fdb_c),
+                            idx(fc0_c), idx(fdc_c),
+                        ),
+                    },
+                )
+                return (g + 1, acc_g, depth_g, t_g)
+
+            _, acc_g, depth_g, t_g = jax.lax.while_loop(
+                ee_cond, ee_body, (jnp.int32(0),) + init_g
+            )
+        else:
+            frames = chunk_sweep(
+                vol_c, rs_par, z_rel, ch_par, nq, rs_dtype, pallas_interp
+            )  # (n_chunks, F+2, nq, nq)
+            (acc_g, depth_g, t_g), _ = jax.lax.scan(
+                fold_body,
+                init_g,
+                {
+                    "fr": frames,
+                    "z": z_ref_c,
+                    "fb": (fb0_c, fdb_c, fc0_c, fdc_c),
+                },
+            )
         chunk_dbg = None
     # no outer remat: the slab scan inside is already checkpointed, so the
     # per-chunk residuals are just the (nq, nq) frame images — cheap to
@@ -675,6 +733,30 @@ def render_swr_fixed_axis(
         (acc_g, depth_g, t_g, dist_g), chunk_dbg = jax.lax.scan(
             chunk_body, init_g, xs
         )
+    elif early_exit > 0.0:
+        # chunk-level early termination on the scan path (see the Pallas
+        # branch above): stop sweeping once every pixel is saturated
+        def ee_cond(c):
+            g = c[0]
+            t_g = c[3]
+            return (g < n_chunks) & (jnp.max(t_g) > early_exit)
+
+        def ee_body(c):
+            g = c[0]
+            inp_g = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, g, axis=0, keepdims=False
+                ),
+                xs,
+            )
+            carry, _ = chunk_body(c[1:], inp_g)
+            return (g + 1,) + carry
+
+        c = jax.lax.while_loop(
+            ee_cond, ee_body, (jnp.int32(0),) + init_g
+        )
+        acc_g, depth_g, t_g = c[1:]
+        chunk_dbg = None
     else:
         (acc_g, depth_g, t_g), chunk_dbg = jax.lax.scan(
             chunk_body, init_g, xs

@@ -899,7 +899,12 @@ class SwrTrainer:
                 )
         return m
 
-    def render(self, pose, K=None, img_wh=None, lat_cap="auto"):
+    def render(self, pose, K=None, img_wh=None, lat_cap="auto",
+               early_exit=1e-4):
+        """Eval-time render.  ``early_exit`` cuts the sweep once every
+        pixel's transmittance is below it (the reference test path's
+        T_threshold semantics, rendering.py:18) — error bounded by the
+        threshold; pass 0.0 for the exact full sweep."""
         from ..render.swr import render_swr, render_swr_inside
 
         # bake once per training step, not once per rendered view
@@ -926,6 +931,9 @@ class SwrTrainer:
             if abs(float(pose_np[a, 3])) <= self.cur_mcfg.scale * 1.05
             else render_swr
         )
+        kw = {}
+        if fn is render_swr and early_exit:
+            kw["early_exit"] = float(early_exit)
         return fn(
             self.state.params,
             grid,
@@ -938,4 +946,5 @@ class SwrTrainer:
             lat_cap=lat_cap,
             skip_empty=True,
             near=self.tcfg.near,
+            **kw,
         )

@@ -162,3 +162,46 @@ print("grazing-smoke-ok")
     res = _run_tpu(code)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "grazing-smoke-ok" in res.stdout
+
+
+@pytest.mark.slow
+def test_tpu_quality_floor():
+    """Marked tpu+slow quality-floor regression (round-3 verdict item 1:
+    records must be pinned by a test, after the unreproducible-28.1
+    episode).  Runs the shipped quality protocol (scripts/quality_run.py
+    — the same code path as the records in docs/) at a reduced scale on
+    the real chip and pins a floor: every held-out view finite, eval
+    PSNR above a level the round-4 code comfortably clears.  A silent
+    quality regression in the trainer, bake chain, eval sweep, or GT
+    generator trips this before it can contaminate a record."""
+    _require_tpu()
+    import tempfile
+
+    state = os.path.join(tempfile.mkdtemp(prefix="qfloor_"), "s.pkl")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "quality_run.py"),
+         "--total_steps", "1200", "--wall", "900", "--state", state,
+         "--pyramid_levels", "32,64,128", "--features", "8",
+         "--level_features", "8,8,8", "--bake_dtype", "float32",
+         "--lr", "1e-2", "--alpha_w", "0.1", "--random_bg",
+         "--views", "40", "--res", "400", "--eval_views", "10"],
+        env=env, capture_output=True, text=True, timeout=1800, cwd=repo,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    import re
+
+    m = re.search(
+        r"RECORD: eval_psnr=([\d.]+) .*views=(\d+)", res.stdout
+    )
+    assert m, res.stdout[-2000:]
+    psnr, views = float(m.group(1)), int(m.group(2))
+    assert views == 10, res.stdout[-1000:]
+    # floor, not record: R=128 / 1200 steps on the 400^2 proxy clears
+    # ~24 dB with margin; a regression to the low 20s means something
+    # structural broke
+    assert psnr >= 22.0, f"quality floor tripped: {psnr}"
