@@ -152,6 +152,9 @@ def export_native(
         "xyz_width": int(cfg.xyz_net_width),
         "xyz_out": int(cfg.xyz_net_out_dim),
         "rgb_width": int(cfg.rgb_net_width),
+        # hidden depth of the rgb chain: 2 in the default model, 1 in
+        # the mobile deployment config (train.py:88-100)
+        "rgb_depth": int(cfg.rgb_net_depth),
         "exp_step_factor": float(
             getattr(render_cfg, "exp_step_factor", 0.0)
         ),
