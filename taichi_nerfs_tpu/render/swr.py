@@ -39,6 +39,11 @@ import jax.numpy as jnp
 
 from ..models import pyramid as pyr
 from ..ops.sh import sh_encode
+# Pallas VMEM budget for sweep-kernel dispatch (v5e/v5p have 128 MiB
+# physical VMEM; the kernel requests 100 MiB scoped).  Module-level so
+# tests can shrink it to force the per-chunk fallback at CPU sizes.
+_PALLAS_VMEM_LIMIT = 88 * 2**20
+
 from ..ops.warp import (
     resample_matmul,
     resample_matmul_batched,
@@ -298,13 +303,78 @@ def render_swr_fixed_axis(
             return x
 
     def frame_at(z_ref):
-        """Lattice origin/spacing covering the frustum at plane z_ref."""
+        """Lattice origin/spacing covering the frustum at plane z_ref.
+
+        Outside cameras additionally intersect the frustum footprint
+        with the *cube's central-projection shadow* on the plane: slab
+        content lives in [-s, s]^2, so rays carrying any of it cross
+        z_ref inside the projection of the (voxel-expanded) cube from
+        the camera — bounded by the 4 extreme corner projections per
+        lateral axis.  For wide-fov views whose sweep axis is barely
+        dominant (slope spans of +-100s; the round-4 "view 22" class),
+        the frustum frame is ~30x wider than the shadow and the grid
+        collapsed onto a handful of lattice cells (17 dB view); the
+        intersection restores full lattice resolution at zero cost.
+        """
         za = z_ref - o_a
         # za's sign decides which slope end is the minimum
         b0 = o_b + za * jnp.where(za >= 0, sb_lo, sb_hi)
         b1 = o_b + za * jnp.where(za >= 0, sb_hi, sb_lo)
         c0 = o_c + za * jnp.where(za >= 0, sc_lo, sc_hi)
         c1 = o_c + za * jnp.where(za >= 0, sc_hi, sc_lo)
+        if not inside:
+            # cube expanded by 2h: trilinear support + frame margin
+            sE = s + 2.0 * h
+
+            def _nz(x):
+                return jnp.where(
+                    jnp.abs(x) < 1e-6,
+                    jnp.where(x >= 0, 1e-6, -1e-6),
+                    x,
+                )
+
+            r_hi = za / _nz(sE - o_a)
+            r_lo = za / _nz(-sE - o_a)
+            qb = jnp.stack(
+                [
+                    o_b + (sE - o_b) * r_hi,
+                    o_b + (sE - o_b) * r_lo,
+                    o_b + (-sE - o_b) * r_hi,
+                    o_b + (-sE - o_b) * r_lo,
+                ]
+            )
+            qc = jnp.stack(
+                [
+                    o_c + (sE - o_c) * r_hi,
+                    o_c + (sE - o_c) * r_lo,
+                    o_c + (-sE - o_c) * r_hi,
+                    o_c + (-sE - o_c) * r_lo,
+                ]
+            )
+            # the corner-slope frustum interval is only valid when the
+            # sweep-axis direction component is sign-constant over the
+            # view (d_a is affine in pixel coords, so the 4 corners
+            # decide exactly); when d_a crosses zero in-view the slopes
+            # wrap through infinity and [min, max] of the corners is
+            # meaningless — the bounded, always-correct frame is the
+            # shadow alone
+            d_ac = corner_w[:, axis]
+            frustum_ok = (jnp.min(d_ac) > 0) | (jnp.max(d_ac) < 0)
+            # axis-0 reductions: frame_at is also called with a VECTOR
+            # z_ref (the Pallas caller batches all chunks through one
+            # call), so the corner reduction must stay per-chunk
+            qb_lo, qb_hi = jnp.min(qb, axis=0), jnp.max(qb, axis=0)
+            qc_lo, qc_hi = jnp.min(qc, axis=0), jnp.max(qc, axis=0)
+            nb0 = jnp.where(frustum_ok, jnp.maximum(b0, qb_lo), qb_lo)
+            nb1 = jnp.where(frustum_ok, jnp.minimum(b1, qb_hi), qb_hi)
+            nc0 = jnp.where(frustum_ok, jnp.maximum(c0, qc_lo), qc_lo)
+            nc1 = jnp.where(frustum_ok, jnp.minimum(c1, qc_hi), qc_hi)
+            # empty intersection = view misses the cube laterally; any
+            # non-degenerate frame renders the (empty) content correctly
+            b0 = nb0
+            b1 = jnp.maximum(nb1, nb0 + 1e-5)
+            c0 = nc0
+            c1 = jnp.maximum(nc1, nc0 + 1e-5)
         db = (b1 - b0) / (nq - 1 - lat_pad)
         dc = (c1 - c0) / (nq - 1 - lat_pad)
         # center the margin
@@ -589,10 +659,16 @@ def render_swr_fixed_axis(
     # fused sweep at eval sizes is far faster than scan-with-skips.
     # VMEM guard: the kernel parks the (F+2, nq, nq) frame + 4 (nq, nq)
     # scratch buffers + double-buffered slab blocks in VMEM.
-    vmem_est = (
-        (acc_ch + 2 + 4) * nq * nq * 4
-        + 2 * (acc_ch + 1) * cfg.grid_res ** 2 * 4
-    )
+    # VMEM budgets, calibrated on v5e: the multi-chunk (batched-grid)
+    # call double-buffers the (F+2, nq, nq) frame block across the
+    # chunk grid dim — measured 115.6M at F=16, nq=816 (the old 56M
+    # estimate OOMed the compiler there); a single-chunk dispatch holds
+    # ONE frame block and measured-fits at the same size.  Per-chunk
+    # dispatch is therefore the only Pallas mode for uncapped-800^2
+    # lattices at F=16 — and the early-exit loop already uses it.
+    _scratch = 4 * nq * nq * 4 + 2 * (acc_ch + 1) * cfg.grid_res**2 * 4
+    vmem_batched = 2 * (acc_ch + 3) * nq * nq * 4 + _scratch
+    vmem_chunked = (acc_ch + 3) * nq * nq * 4 + _scratch
     pallas_scope = (
         cfg.deferred
         and not split
@@ -600,8 +676,9 @@ def render_swr_fixed_axis(
         and not want_distortion
         and not debug_frames
         and slab_window == 0
-        and vmem_est <= 88 * 2**20
+        and vmem_chunked <= _PALLAS_VMEM_LIMIT
     )
+    pallas_batched_ok = vmem_batched <= _PALLAS_VMEM_LIMIT
     if sweep_impl == "auto":
         use_pallas = pallas_scope and jax.default_backend() == "tpu"
         pallas_interp = False
@@ -711,6 +788,32 @@ def render_swr_fixed_axis(
             _, acc_g, depth_g, t_g = jax.lax.while_loop(
                 ee_cond, ee_body, (jnp.int32(0),) + init_g
             )
+        elif not pallas_batched_ok:
+            # big-lattice fallback: one kernel launch per chunk inside a
+            # scan (single frame block resident — fits where the batched
+            # grid OOMs); differentiable, so the train path can land
+            # here too at extreme crop sizes
+            def pc_body(carry, x):
+                fr = chunk_sweep(
+                    x["vol"][None], x["rs"][None], x["zr"][None],
+                    x["ch"][None], nq, rs_dtype, pallas_interp,
+                )[0]
+                return fold_body(
+                    carry, {"fr": fr, "z": x["z"], "fb": x["fb"]}
+                )
+
+            (acc_g, depth_g, t_g), _ = jax.lax.scan(
+                pc_body,
+                init_g,
+                {
+                    "vol": vol_c,
+                    "rs": rs_par,
+                    "zr": z_rel,
+                    "ch": ch_par,
+                    "z": z_ref_c,
+                    "fb": (fb0_c, fdb_c, fc0_c, fdc_c),
+                },
+            )
         else:
             frames = chunk_sweep(
                 vol_c, rs_par, z_rel, ch_par, nq, rs_dtype, pallas_interp
@@ -819,7 +922,16 @@ def render_swr_fixed_axis(
         img4 = jnp.concatenate(
             [img4, jnp.roll(img4, -1, axis=0)], axis=-1
         )  # [p, p+j, p+i, p+ij]  (nq, nq, 4*nch)
-        g = img4[i0, j0]  # (h, w, 4*nch)
+        # flat-index take, NOT img4[i0, j0]: the 2-D advanced-index
+        # gather of this rolled/concatenated array miscompiles on TPU
+        # when fused with the blend below — a deterministic 32-element
+        # -inf leak (XLA fill-lane value) that rendered one eval view
+        # NaN per rig on the lego-proxy.  Minimal repro + bisection in
+        # docs/status_r4.md; the linear-index formulation lowers to a
+        # 1-D gather and is clean in the same fusion context.
+        g = jnp.take(
+            img4.reshape(nq * nq, 4 * nch), i0 * nq + j0, axis=0
+        )  # (h, w, 4*nch)
         g00 = g[..., :nch]
         g01 = g[..., nch : 2 * nch]
         g10 = g[..., 2 * nch : 3 * nch]

@@ -783,6 +783,56 @@ def test_swr_early_exit_matches():
         assert float(np.max(np.asarray(fast["opacity"]))) > 0.9
 
 
+def test_swr_perchunk_pallas_fallback_matches(monkeypatch):
+    """Big-lattice dispatch: when the batched chunk-grid kernel would
+    exceed the VMEM budget (measured OOM at F=16, nq=816 on v5e), the
+    sweep falls back to one kernel launch per chunk inside a scan —
+    results must match the batched call exactly.  Forced here by
+    shrinking the module budget so CPU-size renders take the fallback."""
+    from taichi_nerfs_tpu.render import swr as swr_mod
+
+    cfg = pyr.PyramidConfig(
+        resolutions=(16, 32), features=4, rgb_width=16, scale=0.5,
+        sigma_bias=0.0, deferred=True,
+    )
+    key = jax.random.PRNGKey(0)
+    params = pyr.init_pyramid_params(key, cfg)
+    R = cfg.grid_res
+    c = (jnp.arange(R) + 0.5) / R - 0.5
+    xx, yy, zz = jnp.meshgrid(c, c, c, indexing="ij")
+    r = jnp.sqrt(xx**2 + yy**2 + zz**2)
+    params["levels"][1] = params["levels"][1].at[..., 0].add(
+        2.0 * jnp.exp(-((r / 0.25) ** 2))
+    )
+    grid = pyr.bake(params, cfg)
+    w = h = 48
+    K = np.array(
+        [[0.9 * w, 0, w / 2], [0, 0.9 * w, h / 2], [0, 0, 1]], np.float32
+    )
+    pose = look_at(
+        np.array([0.3, 0.8, -1.2]), np.zeros(3), np.array([0.0, 0.0, 1.0])
+    ).astype(np.float64)
+    batched = render_swr(
+        params, grid, cfg, pose, K, (w, h), n_chunks=8,
+        sweep_impl="pallas_interpret",
+    )
+    # at nq=64/F=4: chunked estimate ~197K, batched ~295K — a 250K
+    # budget forces exactly the per-chunk fallback.  The limit is read
+    # at trace time, so drop the jit cache to force a re-trace.
+    monkeypatch.setattr(swr_mod, "_PALLAS_VMEM_LIMIT", 250_000)
+    swr_mod.render_swr_fixed_axis.clear_cache()
+    perchunk = render_swr(
+        params, grid, cfg, pose, K, (w, h), n_chunks=8,
+        sweep_impl="pallas_interpret",
+    )
+    swr_mod.render_swr_fixed_axis.clear_cache()  # don't poison later tests
+    for k in ("rgb", "depth", "opacity"):
+        np.testing.assert_allclose(
+            np.asarray(perchunk[k]), np.asarray(batched[k]),
+            atol=1e-5, err_msg=k,
+        )
+
+
 def test_pyramid_lean_fine_level():
     """A lean finest level (level_features) bakes exactly like a full
     level whose trailing channels are zero, and trains (has grads)."""
