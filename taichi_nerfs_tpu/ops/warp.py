@@ -142,16 +142,35 @@ def resample_affine_2d(
     )
 
 
+def interp_kernel(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """Resampling kernel at signed source distance ``x``.
+
+    "linear": the 2-tap tent (support 1).  "cubic": Catmull-Rom
+    (a=-0.5, support 2) — a 4-band matrix instead of 2-band, which the
+    DENSE matmul formulation gets for free; each tent in the sweep's
+    resample chain convolves ~1 source cell of blur, so the cubic
+    kernel is the renderer's sharpness knob at zero FLOP cost.
+    """
+    ax = jnp.abs(x)
+    if kind == "linear":
+        return jnp.maximum(0.0, 1.0 - ax)
+    assert kind == "cubic", kind
+    w1 = (1.5 * ax - 2.5) * ax * ax + 1.0
+    w2 = ((-0.5 * ax + 2.5) * ax - 4.0) * ax + 2.0
+    return jnp.where(ax <= 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+
 def interp_matrix(
     start: jnp.ndarray,
     step: jnp.ndarray,
     n: int,
     out_len: int,
     dtype=jnp.float32,
+    kind: str = "linear",
 ) -> jnp.ndarray:
-    """Dense (n, out_len) linear-interpolation matrix.
+    """Dense (n, out_len) interpolation matrix.
 
-    ``W[m, i] = hat(m - (start + i*step))`` — applying it contracts the
+    ``W[m, i] = k(m - (start + i*step))`` — applying it contracts the
     source axis: ``out = x @ W`` reproduces the affine resample with
     zero-padding semantics.  At moderate sizes (n, out_len <= ~512) the
     banded structure is cheaper to *ignore*: two dense MXU matmuls per slab
@@ -160,7 +179,7 @@ def interp_matrix(
     """
     m = jnp.arange(n, dtype=jnp.float32)[:, None]
     pos = start + jnp.arange(out_len, dtype=jnp.float32)[None, :] * step
-    return jnp.maximum(0.0, 1.0 - jnp.abs(m - pos)).astype(dtype)
+    return interp_kernel(m - pos, kind).astype(dtype)
 
 
 def resample_matmul(
@@ -170,6 +189,7 @@ def resample_matmul(
     out_len: int,
     axis: int,
     dtype=None,
+    kind: str = "linear",
 ) -> jnp.ndarray:
     """Affine 1D resample along ``axis`` as one MXU matmul.
 
@@ -178,7 +198,8 @@ def resample_matmul(
     """
     axis = axis % x.ndim
     n = x.shape[axis]
-    w = interp_matrix(start, step, n, out_len, dtype=dtype or x.dtype)
+    w = interp_matrix(start, step, n, out_len, dtype=dtype or x.dtype,
+                      kind=kind)
     out = jax.lax.dot_general(
         x,
         w,
@@ -198,6 +219,7 @@ def resample_matmul_batched(
     out_len: int,
     axis: int,
     dtype=None,
+    kind: str = "linear",
 ) -> jnp.ndarray:
     """Affine 1D resample along ``axis`` with a *per-leading-batch* affine
     map: ``x`` is (B, ..., N, ...), ``start``/``step`` are (B,)-vectors,
@@ -214,7 +236,7 @@ def resample_matmul_batched(
         + jnp.arange(out_len, dtype=jnp.float32)[None, None, :]
         * step[:, None, None]
     )  # (B, 1, out_len)
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(m - pos)).astype(dtype or x.dtype)
+    w = interp_kernel(m - pos, kind).astype(dtype or x.dtype)
     out = jax.lax.dot_general(
         x,
         w,

@@ -72,6 +72,7 @@ from ..ops.warp import (
         "near",
         "sweep_impl",
         "early_exit",
+        "resample_kind",
     ),
 )
 def render_swr_fixed_axis(
@@ -98,6 +99,7 @@ def render_swr_fixed_axis(
     near: float = 0.0,
     sweep_impl: str = "auto",
     early_exit: float = 0.0,
+    resample_kind: str = "linear",
 ) -> Dict[str, jnp.ndarray]:
     """Render with a statically chosen sweep axis/direction.
 
@@ -166,6 +168,15 @@ def render_swr_fixed_axis(
     assert early_exit == 0.0 or not (want_distortion or debug_frames), (
         "early_exit is eval-only: no distortion / debug frames"
     )
+    # resample_kind="cubic": Catmull-Rom matrices in the slab + fold
+    # resamples (ops/warp.py interp_kernel) — same matmul cost, much
+    # less blur accumulated across the resample chain.  Full-matrix
+    # path only; the windowed variant and the Pallas kernel build
+    # 2-band tents (falls back to the XLA scan under "auto").
+    assert resample_kind in ("linear", "cubic"), resample_kind
+    assert resample_kind == "linear" or slab_window == 0, (
+        "cubic resampling needs the full-matmul path (slab_window=0)"
+    )
     s = cfg.scale
     R = cfg.grid_res
     F = cfg.features
@@ -186,7 +197,9 @@ def render_swr_fixed_axis(
                 x, start, step, nq, axis_, window
             )
         else:
-            out = resample_matmul(x, start, step, nq, axis_)
+            out = resample_matmul(
+                x, start, step, nq, axis_, kind=resample_kind
+            )
         return out.astype(jnp.float32)
 
     b_axis, c_axis = [d for d in range(3) if d != axis]
@@ -502,8 +515,12 @@ def render_swr_fixed_axis(
                     stb = f_db / (rho * h_s)
                     stc = f_dc / (rho * h_s)
                     sp = inp_s["s"].astype(rs_dtype)  # (2, Rs, Rs)
-                    sp = resample_matmul_batched(sp, sb, stb, nq, 1)
-                    sp = resample_matmul_batched(sp, sc, stc, nq, 2)
+                    sp = resample_matmul_batched(
+                        sp, sb, stb, nq, 1, kind=resample_kind
+                    )
+                    sp = resample_matmul_batched(
+                        sp, sc, stc, nq, 2, kind=resample_kind
+                    )
                     sp = sp.astype(jnp.float32)
                     s0, s1 = sp[0], sp[1]
                 dt_s = 0.5 * dt
@@ -613,8 +630,12 @@ def render_swr_fixed_axis(
         if want_distortion:
             chans.append(dist_c[None])
         packed = jnp.concatenate(chans, axis=0)  # (acc_ch + 2 [+1], nq, nq)
-        packed = resample_matmul(packed, start_b, step_b, nq, axis=1)
-        packed = resample_matmul(packed, start_c, step_c, nq, axis=2)
+        packed = resample_matmul(
+            packed, start_b, step_b, nq, axis=1, kind=resample_kind
+        )
+        packed = resample_matmul(
+            packed, start_c, step_c, nq, axis=2, kind=resample_kind
+        )
         acc_w = jnp.moveaxis(packed[:acc_ch], 0, -1)
         depth_w = packed[acc_ch]
         op_w = packed[acc_ch + 1]  # chunk-local accumulated weight
@@ -676,6 +697,7 @@ def render_swr_fixed_axis(
         and not want_distortion
         and not debug_frames
         and slab_window == 0
+        and resample_kind == "linear"
         and vmem_chunked <= _PALLAS_VMEM_LIMIT
     )
     pallas_batched_ok = vmem_batched <= _PALLAS_VMEM_LIMIT
@@ -738,8 +760,12 @@ def render_swr_fixed_axis(
             step_b = g_db * rho_cg / f_db
             start_c = (o_c * (1 - rho_cg) + g_c0 * rho_cg - f_c0) / f_dc
             step_c = g_dc * rho_cg / f_dc
-            packed = resample_matmul(packed, start_b, step_b, nq, axis=1)
-            packed = resample_matmul(packed, start_c, step_c, nq, axis=2)
+            packed = resample_matmul(
+                packed, start_b, step_b, nq, axis=1, kind=resample_kind
+            )
+            packed = resample_matmul(
+                packed, start_c, step_c, nq, axis=2, kind=resample_kind
+            )
             acc_g = acc_g + t_g[..., None] * jnp.moveaxis(
                 packed[:acc_ch], 0, -1
             )

@@ -184,3 +184,84 @@ class TestWindowedMatmul:
         np.testing.assert_allclose(
             np.asarray(gw), np.asarray(gf), rtol=1e-4, atol=1e-5
         )
+
+
+def test_interp_matrix_cubic_oracle():
+    """Catmull-Rom interpolation matrix vs a direct numpy oracle, and
+    exactness at integer sample positions (kernel property k(0)=1,
+    k(+-1)=k(+-2)=0 — identity when the grid aligns)."""
+    import numpy as np
+
+    from taichi_nerfs_tpu.ops.warp import interp_matrix, resample_matmul
+
+    n, out_len = 24, 17
+    x = np.cos(np.linspace(0, 3.0, n)).astype(np.float32)
+
+    # identity: start=0, step=1 reproduces the signal exactly
+    w_id = np.asarray(interp_matrix(0.0, 1.0, n, n, kind="cubic"))
+    np.testing.assert_allclose(x @ w_id, x, atol=1e-6)
+
+    # oracle at fractional positions
+    start, step = 1.3, 1.17
+    pos = start + np.arange(out_len) * step
+
+    def cr(t):
+        at = abs(t)
+        if at <= 1:
+            return (1.5 * at - 2.5) * at * at + 1.0
+        if at < 2:
+            return ((-0.5 * at + 2.5) * at - 4.0) * at + 2.0
+        return 0.0
+
+    want = np.zeros(out_len, np.float32)
+    for i, p in enumerate(pos):
+        for m in range(n):
+            want[i] += x[m] * cr(m - p)
+    got = np.asarray(
+        resample_matmul(
+            jnp.asarray(x)[None], jnp.float32(start), jnp.float32(step),
+            out_len, axis=1, kind="cubic",
+        )
+    )[0]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_render_cubic_resample_close_to_linear():
+    """A cubic-kernel render of smooth content stays close to the
+    linear-kernel render (same geometry, sharper reconstruction), and
+    is finite; pins the resample_kind plumbing end-to-end."""
+    import numpy as np
+
+    from taichi_nerfs_tpu.data.synthetic import look_at
+    from taichi_nerfs_tpu.models import pyramid as pyr
+    from taichi_nerfs_tpu.render.swr import render_swr
+
+    cfg = pyr.PyramidConfig(
+        resolutions=(16, 32), features=4, rgb_width=16, scale=0.5,
+        sigma_bias=0.0,
+    )
+    params = pyr.init_pyramid_params(jax.random.PRNGKey(0), cfg)
+    R = cfg.grid_res
+    c = (jnp.arange(R) + 0.5) / R - 0.5
+    xx, yy, zz = jnp.meshgrid(c, c, c, indexing="ij")
+    r = jnp.sqrt(xx**2 + yy**2 + zz**2)
+    params["levels"][1] = params["levels"][1].at[..., 0].add(
+        2.0 * jnp.exp(-((r / 0.25) ** 2))
+    )
+    grid = pyr.bake(params, cfg)
+    w = h = 48
+    K = np.array(
+        [[0.9 * w, 0, w / 2], [0, 0.9 * w, h / 2], [0, 0, 1]], np.float32
+    )
+    pose = look_at(
+        np.array([0.3, 0.8, -1.2]), np.zeros(3), np.array([0.0, 0.0, 1.0])
+    ).astype(np.float64)
+    lin = render_swr(params, grid, cfg, pose, K, (w, h), n_chunks=8,
+                     sweep_impl="xla")
+    cub = render_swr(params, grid, cfg, pose, K, (w, h), n_chunks=8,
+                     sweep_impl="xla", resample_kind="cubic")
+    a, b = np.asarray(cub["rgb"]), np.asarray(lin["rgb"])
+    assert np.all(np.isfinite(a))
+    mse = float(np.mean((a - b) ** 2))
+    psnr = -10 * np.log10(mse + 1e-12)
+    assert psnr > 28.0, f"cubic diverges from linear: {psnr:.1f}"
