@@ -48,6 +48,11 @@ def main():
                          "backgrounds (floater killer on white-bg scenes)")
     ap.add_argument("--alpha_w", type=float, default=0.0,
                     help="direct opacity-vs-GT-alpha supervision weight")
+    ap.add_argument("--resample_kind", default="linear",
+                    choices=["linear", "cubic"],
+                    help="sweep interpolation kernel (cubic = sharper "
+                         "reconstruction at identical matmul cost; XLA "
+                         "scan path)")
     ap.add_argument("--prog", default="auto")
     ap.add_argument("--eval_views", type=int, default=0)
     ap.add_argument("--eval_now", action="store_true",
@@ -102,6 +107,7 @@ def main():
         cam_carve=args.cam_carve,
         random_bg=args.random_bg,
         alpha_w=args.alpha_w,
+        resample_kind=args.resample_kind,
     )
     trainer = SwrTrainer(
         mcfg, tcfg, train_ds.rays, train_ds.poses, train_ds.K,

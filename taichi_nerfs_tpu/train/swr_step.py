@@ -102,6 +102,14 @@ class SwrTrainConfig:
     # "auto" = fused Pallas chunk kernel on TPU when in scope, XLA scan
     # otherwise; "xla" / "pallas" / "pallas_interpret" force a path
     sweep_impl: str = "auto"
+    # interpolation kernel for the sweep's slab/fold resamples
+    # ("linear" | "cubic", ops/warp.py interp_kernel).  Cubic kills the
+    # blur the tent chain accumulates (the round-4 quality plateau:
+    # edge error dominates eval MSE and is set by the kernel, not the
+    # field) at identical matmul cost; it runs on the XLA scan path and
+    # needs full-matrix resamples, so the trainer zeroes slab_window
+    # and the auto dispatch skips the Pallas kernel
+    resample_kind: str = "linear"
 
 
 class SwrTrainState(NamedTuple):
@@ -281,6 +289,7 @@ def make_swr_loss(
             warp=warp,
             slope_bounds=slope_bounds,
             sweep_impl=tcfg.sweep_impl,
+            resample_kind=tcfg.resample_kind,
         )
         rgb_pred = out["rgb"]
         gt_eff = gt
@@ -520,8 +529,8 @@ class SwrTrainer:
                 np.stack(outside), np.asarray(self.K), self.img_wh, pm,
                 crop=self.tcfg.crop, lat_size=self.lat_size,
             )
-            if outside
-            else 0  # inside sweeps always use the full matmul
+            if outside and self.tcfg.resample_kind == "linear"
+            else 0  # inside sweeps + cubic kernels use the full matmul
         )
         if self.tcfg.cam_carve > 0:
             res = pm.sigma_res if pm.split else pm.grid_res
@@ -934,6 +943,8 @@ class SwrTrainer:
         kw = {}
         if fn is render_swr and early_exit:
             kw["early_exit"] = float(early_exit)
+        if self.tcfg.resample_kind != "linear":
+            kw["resample_kind"] = self.tcfg.resample_kind
         return fn(
             self.state.params,
             grid,
