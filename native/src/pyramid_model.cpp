@@ -50,9 +50,11 @@ PyramidModel::PyramidModel(const std::string& dir) {
     throw std::runtime_error("MLP width exceeds the stack scratch bound");
 
   // build the macro-occupancy grid: block (bx,by,bz) is live when any
-  // cell within one cell of the block has sigma above threshold (the
-  // dilation covers the trilinear footprint, so skipped blocks are
-  // exactly zero-contribution)
+  // cell within one cell of the block has sigma above kSigmaEps (the
+  // dilation covers the trilinear footprint).  Skipping is a BOUNDED
+  // approximation, not exact: cells with sigma in (0, kSigmaEps]
+  // contribute alpha <= kSigmaEps * dt in the non-skipped march — the
+  // same bound the training path's skip_empty accepts
   int R = cfg_.grid_res, F = cfg_.features;
   occ_res_ = (R + 7) / 8;
   occ_.assign(static_cast<size_t>(occ_res_) * occ_res_ * occ_res_, 0);

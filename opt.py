@@ -102,10 +102,34 @@ def get_opts(prefix_args=None):
     parser.add_argument("--origin_sigma", type=float, default=0.1,
                         help="initial sigma value in voxel grid (svox)")
 
+    parser.add_argument("--level_features", type=str, default="",
+                        help="pyramid model: explicit comma list of "
+                             "per-level channel widths (overrides "
+                             "--features/--fine_features), e.g. 8,8,8,8")
+    parser.add_argument("--resample_kind", type=str, default="linear",
+                        choices=["linear", "cubic"],
+                        help="pyramid model: sweep interpolation kernel. "
+                             "cubic = Catmull-Rom, sharper reconstruction "
+                             "at identical matmul cost (the record "
+                             "config); runs fused in the Pallas sweep "
+                             "kernel on TPU")
+
     # loss parameters
     parser.add_argument("--distortion_loss_w", type=float, default=0,
                         help="weight of distortion loss; 0 disables; good "
                              "values: 1e-3 (real), 1e-2 (synthetic)")
+    parser.add_argument("--tv_w", type=float, default=3e-3,
+                        help="pyramid model: total-variation weight per "
+                             "level (floater defence; record config uses "
+                             "5e-4)")
+    parser.add_argument("--sigma_l1", type=float, default=1e-5,
+                        help="pyramid model: L1 sparsity on baked sigma "
+                             "(dense-path pruning pressure)")
+    parser.add_argument("--alpha_w", type=float, default=0.0,
+                        help="pyramid model: direct opacity-vs-GT-alpha "
+                             "supervision weight (needs a dataset with "
+                             "an alpha channel; the record config uses "
+                             "0.2 with --random_bg)")
 
     # training options
     parser.add_argument("--batch_size", type=int, default=8192,

@@ -52,10 +52,24 @@ def main():
     from taichi_nerfs_tpu.utils.viz import depth2img
 
     cfg_blob = json.loads(man["config"])
-    # rebuild the configs from their reprs (dataclass repr round-trip)
-    import taichi_nerfs_tpu.models.pyramid as pyr_mod  # noqa: F401
-    mcfg = eval(cfg_blob["mcfg"], {"PyramidConfig": PyramidConfig})
-    tcfg = eval(cfg_blob["tcfg"], {"SwrTrainConfig": SwrTrainConfig})
+    # configs are plain JSON dicts (quality_run.py) — reconstruct via
+    # the dataclass constructors; NEVER eval manifest content (a
+    # manifest is untrusted input)
+    if isinstance(cfg_blob["mcfg"], str):
+        raise SystemExit(
+            "legacy repr-format manifest: re-generate it with "
+            "scripts/quality_run.py (eval of manifest strings was "
+            "removed for safety)"
+        )
+
+    def _tup(d):
+        return {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in d.items()
+        }
+
+    mcfg = PyramidConfig(**_tup(cfg_blob["mcfg"]))
+    tcfg = SwrTrainConfig(**_tup(cfg_blob["tcfg"]))
     spec = cfg_blob["spec"]
     train_ds = SyntheticSphereDataset(spec, split="train")
     tr = SwrTrainer(

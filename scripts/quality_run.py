@@ -204,8 +204,19 @@ def main():
     import hashlib
     import subprocess
 
+    # plain JSON dicts (not reprs): publish_record.py reconstructs with
+    # PyramidConfig(**d) — no eval of manifest content (untrusted input)
+    import dataclasses
+
+    def _cfg_dict(c):
+        d = dataclasses.asdict(c)
+        return {
+            k: list(v) if isinstance(v, tuple) else v
+            for k, v in d.items()
+        }
+
     cfg_blob = json.dumps(
-        {"mcfg": repr(mcfg), "tcfg": repr(tcfg), "spec": spec},
+        {"mcfg": _cfg_dict(mcfg), "tcfg": _cfg_dict(tcfg), "spec": spec},
         sort_keys=True,
     )
     try:

@@ -63,22 +63,31 @@ def _iota_f32(shape, dim):
     )
 
 
-def _hat(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.maximum(0.0, 1.0 - jnp.abs(a - b))
+def _kern(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """Resampling weight at signed source distance ``x`` — in-register
+    mirror of ``ops/warp.py:interp_kernel`` ("linear" 2-tap tent,
+    "cubic" Catmull-Rom a=-0.5, 4-band).  Pure VPU polynomial work."""
+    ax = jnp.abs(x)
+    if kind == "linear":
+        return jnp.maximum(0.0, 1.0 - ax)
+    assert kind == "cubic", kind
+    w1 = (1.5 * ax - 2.5) * ax * ax + 1.0
+    w2 = ((-0.5 * ax + 2.5) * ax - 4.0) * ax + 2.0
+    return jnp.where(ax <= 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
 
 
-def _interp_T(start, step, nq: int, n: int, dtype):
-    """(nq, n) interpolation matrix W[i, m] = hat(m - (start + i*step))."""
+def _interp_T(start, step, nq: int, n: int, dtype, kind: str):
+    """(nq, n) interpolation matrix W[i, m] = k(m - (start + i*step))."""
     i = _iota_f32((nq, n), 0)
     m = _iota_f32((nq, n), 1)
-    return _hat(m, start + i * step).astype(dtype)
+    return _kern(m - (start + i * step), kind).astype(dtype)
 
 
-def _interp(start, step, n: int, nq: int, dtype):
-    """(n, nq) interpolation matrix W[m, i] = hat(m - (start + i*step))."""
+def _interp(start, step, n: int, nq: int, dtype, kind: str):
+    """(n, nq) interpolation matrix W[m, i] = k(m - (start + i*step))."""
     m = _iota_f32((n, nq), 0)
     i = _iota_f32((n, nq), 1)
-    return _hat(m, start + i * step).astype(dtype)
+    return _kern(m - (start + i * step), kind).astype(dtype)
 
 
 def _geom(chp, nq: int):
@@ -121,6 +130,7 @@ def _fwd_kernel(
     F: int,
     Rc: int,
     dtype,
+    kind: str,
 ):
     s = pl.program_id(1)
 
@@ -135,8 +145,8 @@ def _fwd_kernel(
         tb_ref[...] = tb
 
     start_b, step_b, start_c, step_c = _scalars(rs_ref, s)
-    wbt = _interp_T(start_b, step_b, nq, Rb, dtype)  # (nq, Rb)
-    wc = _interp(start_c, step_c, Rc, nq, dtype)  # (Rc, nq)
+    wbt = _interp_T(start_b, step_b, nq, Rb, dtype, kind)  # (nq, Rb)
+    wc = _interp(start_c, step_c, Rc, nq, dtype, kind)  # (Rc, nq)
 
     def resample(f):
         x1 = jnp.dot(
@@ -184,6 +194,7 @@ def _bwd_kernel(
     F: int,
     Rc: int,
     dtype,
+    kind: str,
 ):
     s = pl.program_id(1)
     sr = dc - 1 - s  # the slab this program processes (reverse sweep)
@@ -198,8 +209,8 @@ def _bwd_kernel(
         tb_ref[...] = tb
 
     start_b, step_b, start_c, step_c = _scalars(rs_ref, sr)
-    wbt = _interp_T(start_b, step_b, nq, Rb, dtype)  # (nq, Rb)
-    wc = _interp(start_c, step_c, Rc, nq, dtype)  # (Rc, nq)
+    wbt = _interp_T(start_b, step_b, nq, Rb, dtype, kind)  # (nq, Rb)
+    wc = _interp(start_c, step_c, Rc, nq, dtype, kind)  # (Rc, nq)
 
     def resample(f):
         x1 = jnp.dot(
@@ -212,6 +223,11 @@ def _bwd_kernel(
         )
 
     x2_sigma = resample(0)
+    # the clamp binds under cubic undershoot (Catmull-Rom's negative
+    # lobes): tau MUST be reconstructed from CLAMPED sigmas (matching
+    # the forward's tau accumulation) and d alpha/d sigma gated on
+    # x2_sigma > 0, or the log-space transmittance replay diverges
+    # from the forward exactly where the kernel undershoots
     sigma = jnp.maximum(x2_sigma, 0.0)
     dt = dt_ref[...]
     t_ray = zrel_ref[0, 0, sr] * tb_ref[...]
@@ -239,8 +255,8 @@ def _bwd_kernel(
     dx2_sigma = jnp.where(x2_sigma > 0.0, dsigma, 0.0)
 
     # transposed resamples back to the slab: dvol = wb @ (dx2 @ wct)
-    wct = _interp_T(start_c, step_c, nq, Rc, dtype)  # (nq, Rc)
-    wb = _interp(start_b, step_b, Rb, nq, dtype)  # (Rb, nq)
+    wct = _interp_T(start_c, step_c, nq, Rc, dtype, kind)  # (nq, Rc)
+    wb = _interp(start_b, step_b, Rb, nq, dtype, kind)  # (Rb, nq)
 
     def back(dx2, f):
         t = jnp.dot(
@@ -276,10 +292,13 @@ def _smem_specs(dc: int):
     ]
 
 
-def _fwd_call(vol_cs, rs_par, z_rel, ch_par, *, nq, dtype, interpret):
+def _fwd_call(
+    vol_cs, rs_par, z_rel, ch_par, *, nq, dtype, interpret, kind
+):
     n_chunks, dc, F, Rb, Rc = vol_cs.shape
     kernel = functools.partial(
-        _fwd_kernel, nq=nq, dc=dc, Rb=Rb, F=F, Rc=Rc, dtype=dtype
+        _fwd_kernel, nq=nq, dc=dc, Rb=Rb, F=F, Rc=Rc, dtype=dtype,
+        kind=kind,
     )
     return pl.pallas_call(
         kernel,
@@ -307,11 +326,13 @@ def _fwd_call(vol_cs, rs_par, z_rel, ch_par, *, nq, dtype, interpret):
 
 
 def _bwd_call(
-    vol_cs, rs_par, z_rel, ch_par, frames, g, *, nq, dtype, interpret
+    vol_cs, rs_par, z_rel, ch_par, frames, g, *, nq, dtype, interpret,
+    kind,
 ):
     n_chunks, dc, F, Rb, Rc = vol_cs.shape
     kernel = functools.partial(
-        _bwd_kernel, nq=nq, dc=dc, Rb=Rb, F=F, Rc=Rc, dtype=dtype
+        _bwd_kernel, nq=nq, dc=dc, Rb=Rb, F=F, Rc=Rc, dtype=dtype,
+        kind=kind,
     )
     return pl.pallas_call(
         kernel,
@@ -346,7 +367,7 @@ def _bwd_call(
     )(rs_par, z_rel[:, None, :], ch_par[:, None, :], vol_cs, g, frames)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def chunk_sweep(
     vol_cs: jnp.ndarray,  # (n_chunks, dc, F, Rb, Rc) f32
     rs_par: jnp.ndarray,  # (n_chunks, dc, 4) f32
@@ -355,6 +376,7 @@ def chunk_sweep(
     nq: int,
     dtype=jnp.bfloat16,
     interpret: bool = False,
+    kind: str = "linear",
 ) -> jnp.ndarray:
     """Composite every chunk's slabs into per-chunk frames.
 
@@ -373,26 +395,30 @@ def chunk_sweep(
     to mirror the XLA path's default ``resample_dtype='float32'`` (on v5e
     both run as bf16 MXU passes; the distinction matters on hardware with
     true fp32 passes).
+
+    ``kind`` selects the in-register interpolation matrices: "linear"
+    (2-band tent) or "cubic" (4-band Catmull-Rom — identical matmul
+    cost in this dense formulation; the renderer's sharpness knob).
     """
     return _fwd_call(
         vol_cs, rs_par, z_rel, ch_par, nq=nq, dtype=dtype,
-        interpret=interpret,
+        interpret=interpret, kind=kind,
     )
 
 
-def _sweep_fwd(vol_cs, rs_par, z_rel, ch_par, nq, dtype, interpret):
+def _sweep_fwd(vol_cs, rs_par, z_rel, ch_par, nq, dtype, interpret, kind):
     frames = _fwd_call(
         vol_cs, rs_par, z_rel, ch_par, nq=nq, dtype=dtype,
-        interpret=interpret,
+        interpret=interpret, kind=kind,
     )
     return frames, (vol_cs, rs_par, z_rel, ch_par, frames)
 
 
-def _sweep_bwd(nq, dtype, interpret, res, g):
+def _sweep_bwd(nq, dtype, interpret, kind, res, g):
     vol_cs, rs_par, z_rel, ch_par, frames = res
     dvol = _bwd_call(
         vol_cs, rs_par, z_rel, ch_par, frames, g, nq=nq, dtype=dtype,
-        interpret=interpret,
+        interpret=interpret, kind=kind,
     )
     return (
         dvol,

@@ -171,8 +171,8 @@ def render_swr_fixed_axis(
     # resample_kind="cubic": Catmull-Rom matrices in the slab + fold
     # resamples (ops/warp.py interp_kernel) — same matmul cost, much
     # less blur accumulated across the resample chain.  Full-matrix
-    # path only; the windowed variant and the Pallas kernel build
-    # 2-band tents (falls back to the XLA scan under "auto").
+    # path only; the windowed variant builds 2-band tents.  The Pallas
+    # kernel builds either kind in-register (ops/swr_pallas.py _kern).
     assert resample_kind in ("linear", "cubic"), resample_kind
     assert resample_kind == "linear" or slab_window == 0, (
         "cubic resampling needs the full-matmul path (slab_window=0)"
@@ -638,7 +638,11 @@ def render_swr_fixed_axis(
         )
         acc_w = jnp.moveaxis(packed[:acc_ch], 0, -1)
         depth_w = packed[acc_ch]
-        op_w = packed[acc_ch + 1]  # chunk-local accumulated weight
+        # chunk-local accumulated weight; Catmull-Rom's negative lobes
+        # can overshoot the resampled opacity outside [0, 1] at hard
+        # silhouettes, which would compound into a signed/overshooting
+        # global transmittance across chunks — clamp (no-op for linear)
+        op_w = jnp.clip(packed[acc_ch + 1], 0.0, 1.0)
         t_w = 1.0 - op_w
         if want_distortion:
             # chunk-local pair terms scale by t_g^2 (global weight of a
@@ -697,7 +701,6 @@ def render_swr_fixed_axis(
         and not want_distortion
         and not debug_frames
         and slab_window == 0
-        and resample_kind == "linear"
         and vmem_chunked <= _PALLAS_VMEM_LIMIT
     )
     pallas_batched_ok = vmem_batched <= _PALLAS_VMEM_LIMIT
@@ -770,7 +773,8 @@ def render_swr_fixed_axis(
                 packed[:acc_ch], 0, -1
             )
             depth_g = depth_g + t_g * packed[acc_ch]
-            t_g = t_g * (1.0 - packed[acc_ch + 1])
+            # clamp cubic opacity overshoot (see chunk_body's fold)
+            t_g = t_g * (1.0 - jnp.clip(packed[acc_ch + 1], 0.0, 1.0))
             return (acc_g, depth_g, t_g), None
 
         if early_exit > 0.0:
@@ -780,34 +784,70 @@ def render_swr_fixed_axis(
             # kernel makes per-chunk dispatch cheap; a converged opaque
             # scene typically saturates after the surface chunk, saving
             # the back half of the grid.
+            #
+            # Occupancy gating: on white-background object scenes the
+            # background pixels never saturate, so the transmittance
+            # stop alone never fires and every chunk gets swept one
+            # kernel at a time (slower than the batched sweep).  Two
+            # additions make the loop win regardless: (a) empty chunks
+            # (max sigma <= 1e-4, the scan path's skip_empty threshold)
+            # skip their sweep+fold entirely via lax.cond, and (b) the
+            # loop stops outright once no *remaining* chunk is occupied
+            # — the per-slab error bound of a skipped chunk is
+            # alpha <= 1e-4 * dt, the same bound skip_empty accepts.
+            occ_chunk = jnp.max(occ_c, axis=1) > 1e-4  # (n_chunks,)
+            # rem_occ[g] = any occupied chunk at index >= g
+            rem_occ = jnp.concatenate(
+                [
+                    jnp.cumsum(occ_chunk[::-1].astype(jnp.int32))[::-1]
+                    > 0,
+                    jnp.zeros((1,), bool),
+                ]
+            )
+
             def ee_cond(c):
                 g = c[0]
                 t_g = c[3]
-                return (g < n_chunks) & (jnp.max(t_g) > early_exit)
+                return (
+                    (g < n_chunks)
+                    & (jnp.max(t_g) > early_exit)
+                    & rem_occ[g]
+                )
 
             def ee_body(c):
                 g, acc_g, depth_g, t_g = c
 
-                def sl(x):
-                    return jax.lax.dynamic_slice_in_dim(x, g, 1, axis=0)
+                def sweep(carry):
+                    acc_g, depth_g, t_g = carry
 
-                fr = chunk_sweep(
-                    sl(vol_c), sl(rs_par), sl(z_rel), sl(ch_par),
-                    nq, rs_dtype, pallas_interp,
-                )[0]
-                idx = lambda x: jax.lax.dynamic_index_in_dim(  # noqa: E731
-                    x, g, axis=0, keepdims=False
-                )
-                (acc_g, depth_g, t_g), _ = fold_body(
+                    def sl(x):
+                        return jax.lax.dynamic_slice_in_dim(
+                            x, g, 1, axis=0
+                        )
+
+                    fr = chunk_sweep(
+                        sl(vol_c), sl(rs_par), sl(z_rel), sl(ch_par),
+                        nq, rs_dtype, pallas_interp, resample_kind,
+                    )[0]
+                    idx = lambda x: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                        x, g, axis=0, keepdims=False
+                    )
+                    (acc_g, depth_g, t_g), _ = fold_body(
+                        (acc_g, depth_g, t_g),
+                        {
+                            "fr": fr,
+                            "z": idx(z_ref_c),
+                            "fb": (
+                                idx(fb0_c), idx(fdb_c),
+                                idx(fc0_c), idx(fdc_c),
+                            ),
+                        },
+                    )
+                    return (acc_g, depth_g, t_g)
+
+                acc_g, depth_g, t_g = jax.lax.cond(
+                    occ_chunk[g], sweep, lambda c: c,
                     (acc_g, depth_g, t_g),
-                    {
-                        "fr": fr,
-                        "z": idx(z_ref_c),
-                        "fb": (
-                            idx(fb0_c), idx(fdb_c),
-                            idx(fc0_c), idx(fdc_c),
-                        ),
-                    },
                 )
                 return (g + 1, acc_g, depth_g, t_g)
 
@@ -823,6 +863,7 @@ def render_swr_fixed_axis(
                 fr = chunk_sweep(
                     x["vol"][None], x["rs"][None], x["zr"][None],
                     x["ch"][None], nq, rs_dtype, pallas_interp,
+                    resample_kind,
                 )[0]
                 return fold_body(
                     carry, {"fr": fr, "z": x["z"], "fb": x["fb"]}
@@ -842,7 +883,8 @@ def render_swr_fixed_axis(
             )
         else:
             frames = chunk_sweep(
-                vol_c, rs_par, z_rel, ch_par, nq, rs_dtype, pallas_interp
+                vol_c, rs_par, z_rel, ch_par, nq, rs_dtype,
+                pallas_interp, resample_kind,
             )  # (n_chunks, F+2, nq, nq)
             (acc_g, depth_g, t_g), _ = jax.lax.scan(
                 fold_body,

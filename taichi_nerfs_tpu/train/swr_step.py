@@ -106,9 +106,9 @@ class SwrTrainConfig:
     # ("linear" | "cubic", ops/warp.py interp_kernel).  Cubic kills the
     # blur the tent chain accumulates (the round-4 quality plateau:
     # edge error dominates eval MSE and is set by the kernel, not the
-    # field) at identical matmul cost; it runs on the XLA scan path and
+    # field) at identical matmul cost.  Runs fused in the Pallas sweep
+    # kernel (ops/swr_pallas.py builds either kind in-register); cubic
     # needs full-matrix resamples, so the trainer zeroes slab_window
-    # and the auto dispatch skips the Pallas kernel
     resample_kind: str = "linear"
 
 

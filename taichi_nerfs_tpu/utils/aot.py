@@ -172,6 +172,7 @@ def export_pyramid_compiled(
                     "axis": axis,
                     "flip": bool(flip),
                     "grid_res": int(pyramid_cfg.grid_res),
+                    "scale": float(pyramid_cfg.scale),
                     "img_wh": [int(w), int(h)],
                     "white_bg": bool(white_bg),
                     "lat_cap": int(lat_cap),
@@ -189,11 +190,28 @@ def load_pyramid_renderer(out_dir: str) -> Callable:
         for a in range(3)
         for f in (0, 1)
     }
+    with open(os.path.join(out_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    scale = float(meta.get("pyramid_render_a0f0", {}).get("scale", 0.5))
 
     def render(grid, rgb_mlp, pose):
         p = np.asarray(pose, np.float32).reshape(3, 4)
         axis = int(np.argmax(np.abs(p[:, 2])))
         flip = int(p[axis, 3] > 0)
+        # the exported entry points are the OUTSIDE sweep: the shadow-
+        # frame intersection assumes the camera clears the expanded cube
+        # along the sweep axis.  An inside pose would render a collapsed
+        # one-sided frame with no error — refuse it loudly (mirrors
+        # SwrTrainer.render's inside/outside dispatch, which the AOT
+        # artifact does not carry)
+        if abs(float(p[axis, 3])) <= scale * 1.05:
+            raise ValueError(
+                f"pose is inside the grid along its dominant axis "
+                f"(|o_a|={abs(float(p[axis, 3])):.3f} <= "
+                f"{scale * 1.05:.3f}); the AOT artifact only serves "
+                "outside cameras — render inside poses with "
+                "SwrTrainer.render (cubemap-face sweep)"
+            )
         return fns[(axis, flip)](grid, rgb_mlp, p)
 
     return render

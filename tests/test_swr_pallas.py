@@ -19,10 +19,11 @@ from jax.test_util import check_grads
 from taichi_nerfs_tpu.data.synthetic import look_at
 from taichi_nerfs_tpu.models import pyramid as pyr
 from taichi_nerfs_tpu.ops.swr_pallas import chunk_sweep
+from taichi_nerfs_tpu.ops.warp import interp_kernel
 from taichi_nerfs_tpu.render.swr import render_swr_fixed_axis
 
 
-def _ref_sweep(vol_cs, rs_par, z_rel, ch_par, nq):
+def _ref_sweep(vol_cs, rs_par, z_rel, ch_par, nq, kind="linear"):
     """Straight-line jnp mirror of the kernel math (autodiff oracle).
 
     Channel-leading layouts: vol (nc, dc, F, Rb, Rc), frames
@@ -33,7 +34,7 @@ def _ref_sweep(vol_cs, rs_par, z_rel, ch_par, nq):
     def interp_T(start, step, n):
         i = jnp.arange(nq, dtype=jnp.float32)[:, None]
         m = jnp.arange(n, dtype=jnp.float32)[None, :]
-        return jnp.maximum(0.0, 1.0 - jnp.abs(m - (start + i * step)))
+        return interp_kernel(m - (start + i * step), kind)
 
     frames = []
     for c in range(nc):
@@ -112,19 +113,24 @@ def _rand_inputs(seed=0, nc=2, dc=3, Rb=8, Rc=8, F=4, nq=8):
     )
 
 
-def test_chunk_sweep_forward_matches_reference():
+@pytest.mark.parametrize("kind", ["linear", "cubic"])
+def test_chunk_sweep_forward_matches_reference(kind):
     vol, rs, z_rel, ch, nq = _rand_inputs()
-    got = chunk_sweep(vol, rs, z_rel, ch, nq, jnp.float32, True)
-    want = _ref_sweep(vol, rs, z_rel, ch, nq)
+    got = chunk_sweep(vol, rs, z_rel, ch, nq, jnp.float32, True, kind)
+    want = _ref_sweep(vol, rs, z_rel, ch, nq, kind)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
 
 
-def test_chunk_sweep_grad_matches_reference_all_channels():
+@pytest.mark.parametrize("kind", ["linear", "cubic"])
+def test_chunk_sweep_grad_matches_reference_all_channels(kind):
     """Reverse sweep == autodiff of the jnp oracle — with a random
     cotangent on EVERY output channel, including tau (the channel the
-    round-1 backward silently dropped)."""
+    round-1 backward silently dropped).  The cubic case exercises the
+    binding sigma clamp (Catmull-Rom undershoot drives resampled sigma
+    negative): the backward must reconstruct tau from CLAMPED sigmas
+    and gate d alpha/d sigma on the clamp, or it diverges here."""
     vol, rs, z_rel, ch, nq = _rand_inputs(seed=3)
     g = jnp.asarray(
         np.random.default_rng(9).normal(
@@ -134,14 +140,40 @@ def test_chunk_sweep_grad_matches_reference_all_channels():
     )
 
     _, vjp_k = jax.vjp(
-        lambda v: chunk_sweep(v, rs, z_rel, ch, nq, jnp.float32, True), vol
+        lambda v: chunk_sweep(v, rs, z_rel, ch, nq, jnp.float32, True,
+                              kind),
+        vol,
     )
     (dvol_k,) = vjp_k(g)
-    _, vjp_r = jax.vjp(lambda v: _ref_sweep(v, rs, z_rel, ch, nq), vol)
+    _, vjp_r = jax.vjp(
+        lambda v: _ref_sweep(v, rs, z_rel, ch, nq, kind), vol
+    )
     (dvol_r,) = vjp_r(g)
     np.testing.assert_allclose(
         np.asarray(dvol_k), np.asarray(dvol_r), rtol=2e-4, atol=2e-4
     )
+
+
+def test_cubic_clamp_binds():
+    """The cubic grad test above is only meaningful if Catmull-Rom
+    undershoot actually drives some resampled sigma negative — pin it."""
+    vol, rs, z_rel, ch, nq = _rand_inputs(seed=3)
+    nc, dc, F, Rb, Rc = vol.shape
+
+    def interp_T(start, step, n):
+        i = jnp.arange(nq, dtype=jnp.float32)[:, None]
+        m = jnp.arange(n, dtype=jnp.float32)[None, :]
+        return interp_kernel(m - (start + i * step), "cubic")
+
+    n_neg = 0
+    for c in range(nc):
+        for s_ in range(dc):
+            sb, stb, sc, stc = [rs[c, s_, k] for k in range(4)]
+            wb = interp_T(sb, stb, Rb)
+            wc = interp_T(sc, stc, Rc)
+            x2 = jnp.einsum("ib,bc,jc->ij", wb, vol[c, s_, 0], wc)
+            n_neg += int(jnp.sum(x2 < -1e-3))
+    assert n_neg > 0, "cubic undershoot never binds the sigma clamp"
 
 
 def test_chunk_sweep_tau_grad_nonzero():
@@ -159,10 +191,12 @@ def test_chunk_sweep_tau_grad_nonzero():
     np.testing.assert_allclose(np.asarray(dvol[:, :, 1:]), 0.0)
 
 
-def test_chunk_sweep_check_grads():
+@pytest.mark.parametrize("kind", ["linear", "cubic"])
+def test_chunk_sweep_check_grads(kind):
     vol, rs, z_rel, ch, nq = _rand_inputs(seed=7, nc=1, dc=2, Rb=6, Rc=6)
     check_grads(
-        lambda v: chunk_sweep(v, rs, z_rel, ch, nq, jnp.float32, True),
+        lambda v: chunk_sweep(v, rs, z_rel, ch, nq, jnp.float32, True,
+                              kind),
         (vol,),
         order=1,
         modes=["rev"],
@@ -207,7 +241,7 @@ def scene():
     return cfg, params, grid, pose, K, (w, h)
 
 
-def _render(scene, grid, sweep_impl):
+def _render(scene, grid, sweep_impl, kind="linear"):
     cfg, params, _, pose, K, wh = scene
     return render_swr_fixed_axis(
         params,
@@ -220,13 +254,15 @@ def _render(scene, grid, sweep_impl):
         flip=False,
         n_chunks=8,
         sweep_impl=sweep_impl,
+        resample_kind=kind,
     )
 
 
-def test_render_pallas_matches_xla_forward(scene):
+@pytest.mark.parametrize("kind", ["linear", "cubic"])
+def test_render_pallas_matches_xla_forward(scene, kind):
     grid = scene[2]
-    a = _render(scene, grid, "xla")
-    b = _render(scene, grid, "pallas_interpret")
+    a = _render(scene, grid, "xla", kind)
+    b = _render(scene, grid, "pallas_interpret", kind)
     for k in ("rgb", "depth", "opacity"):
         np.testing.assert_allclose(
             np.asarray(a[k]), np.asarray(b[k]), rtol=2e-4, atol=2e-4,
@@ -234,12 +270,13 @@ def test_render_pallas_matches_xla_forward(scene):
         )
 
 
-def test_render_pallas_matches_xla_grad(scene):
+@pytest.mark.parametrize("kind", ["linear", "cubic"])
+def test_render_pallas_matches_xla_grad(scene, kind):
     """End-to-end gradient parity through the renderer wrt the grid."""
     grid = scene[2]
 
     def loss(g, impl):
-        out = _render(scene, g, impl)
+        out = _render(scene, g, impl, kind)
         return jnp.mean(out["rgb"] ** 2) + 0.1 * jnp.mean(out["depth"])
 
     ga = jax.grad(lambda g: loss(g, "xla"))(grid)

@@ -145,15 +145,20 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
     ) or (32, 64, 128, 256)
     feats = getattr(hparams, "features", 16)
     fine_f = getattr(hparams, "fine_features", 0)
+    lf_arg = getattr(hparams, "level_features", "")
+    if lf_arg:
+        level_features = tuple(int(x) for x in lf_arg.split(",") if x)
+    elif fine_f:
+        level_features = (feats,) * (len(levels) - 1) + (fine_f,)
+    else:
+        level_features = ()
     mcfg = PyramidConfig(
         resolutions=levels,
         scale=hparams.scale,
         deferred=getattr(hparams, "shading", "deferred") == "deferred",
         sigma_res=getattr(hparams, "sigma_res", 0),
         features=feats,
-        level_features=(
-            (feats,) * (len(levels) - 1) + (fine_f,) if fine_f else ()
-        ),
+        level_features=level_features,
     )
     # --num_devices: crop-parallel DP over a mesh (parallel/swr_shard.py);
     # 0 = all visible devices, 1 = single-chip
@@ -217,7 +222,20 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         bake_dtype=getattr(hparams, "bake_dtype", "float32"),
         # the bf16-bake memory regime wants the mu EMA half-width too
         adam_mu_bf16=getattr(hparams, "bake_dtype", "") == "bfloat16",
+        tv_w=getattr(hparams, "tv_w", 3e-3),
+        sigma_l1=getattr(hparams, "sigma_l1", 1e-5),
+        alpha_w=getattr(hparams, "alpha_w", 0.0),
+        resample_kind=getattr(hparams, "resample_kind", "linear"),
     )
+    # GT alpha channel (synthetic datasets keep it; real loaders blend it
+    # away at load, reference color_utils.py:19-31): needed for alpha_w
+    # supervision and alpha-aware random_bg compositing
+    alphas = getattr(train_dataset, "alphas", None)
+    if tcfg.alpha_w > 0 and alphas is None:
+        raise SystemExit(
+            "--alpha_w needs a dataset with a GT alpha channel "
+            "(dataset_name=synthetic keeps it)"
+        )
     trainer = SwrTrainer(
         mcfg,
         tcfg,
@@ -226,6 +244,11 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         train_dataset.K,
         train_dataset.img_wh,
         mesh=mesh,
+        alphas=(
+            alphas
+            if (tcfg.alpha_w > 0 or hparams.random_bg) and alphas is not None
+            else None
+        ),
     )
     if hparams.ckpt_path:
         trainer.load_npz(hparams.ckpt_path)
