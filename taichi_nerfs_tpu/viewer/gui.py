@@ -127,14 +127,26 @@ class NGPGUI:
             out = render_image(
                 self.params, self.cfg, self.bitfield, rays_o, rays_d
             )
-        rgb = np.asarray(out["rgb"]).reshape(self.H, self.W, 3)
+        if self.img_mode == 0:
+            # fetch ONLY the displayed channel (each np.asarray is a
+            # host transfer on a remote chip; the unread depth plane
+            # costs nothing)
+            rgb = np.asarray(out["rgb"]).reshape(self.H, self.W, 3)
+            self.dt = time.time() - t0
+            self.mean_samples = float(out.get("total_samples", 0)) / (
+                self.W * self.H
+            )
+            if rgb.dtype == np.uint8:
+                # render_fn already quantized on device (the tunnel
+                # ships 1/12 the bytes of the fp32 frame — the
+                # interactive-fps lever for remote chips)
+                return rgb
+            return (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
         depth = np.asarray(out["depth"]).reshape(self.H, self.W)
         self.dt = time.time() - t0
         self.mean_samples = float(out.get("total_samples", 0)) / (
             self.W * self.H
         )
-        if self.img_mode == 0:
-            return (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
         return depth2img(depth)
 
     def _handle_key(self, key: int) -> bool:
