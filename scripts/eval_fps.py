@@ -26,6 +26,15 @@ def main():
                     help="transmittance threshold for chunk-level early "
                          "termination (reference T_threshold semantics; "
                          "0 = exact full sweep)")
+    ap.add_argument("--resample_kind", default="linear",
+                    choices=("linear", "cubic"),
+                    help="slab/fold reconstruction kernel — must match "
+                         "the checkpoint's training kind (the record "
+                         "trains cubic)")
+    ap.add_argument("--resample_dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="resample matmul operand dtype (bfloat16 = the "
+                         "MXU-rate eval leg, VERDICT r4 item 2)")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +92,8 @@ def main():
                 params, grid, cfg, pose_at(90.0 * f), K, (w, h),
                 lat_cap=cap, skip_empty=False,
                 sweep_impl=args.sweep_impl, early_exit=ee,
+                resample_kind=args.resample_kind,
+                resample_dtype=args.resample_dtype,
             )
         float(jnp.sum(out["rgb"][:1]))
         t0 = time.perf_counter()
@@ -91,6 +102,8 @@ def main():
                 params, grid, cfg, pose_at(90.0 * (f % 4)), K, (w, h),
                 lat_cap=cap, skip_empty=False,
                 sweep_impl=args.sweep_impl, early_exit=ee,
+                resample_kind=args.resample_kind,
+                resample_dtype=args.resample_dtype,
             )
         float(jnp.sum(out["rgb"][:1]))
         ms = (time.perf_counter() - t0) / args.frames * 1e3

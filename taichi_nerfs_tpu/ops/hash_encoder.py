@@ -109,6 +109,58 @@ def init_hash_table(key: jax.Array, layout: HashGridLayout) -> jnp.ndarray:
     )
 
 
+@jax.custom_vjp
+def _gather_pair_bf16(table: jnp.ndarray, idx: jnp.ndarray):
+    """One u32 row-gather fetches BOTH bf16 feature channels of a corner.
+
+    TPU random access is issue-rate-bound per ROW, not per byte
+    (``ops/brick_encoder.py`` docstring: scalar and 64 B-row gathers both
+    run ~75-100 M rows/s on v5e), so the per-feature scalar gathers of the
+    bf16 table path pay 2x the issue slots for the same bytes.  Packing the
+    two bf16 channels of each table entry into one uint32 word makes the
+    encode ONE gather per (level, corner) slot; the channels unpack
+    in-register by bitcast (bf16 -> f32 widening is exactly ``bits << 16``),
+    so the forward is bit-identical to gathering the bf16 channels and
+    widening them.  This is the TPU shape of the reference's half2 fast
+    path (``modules/hash_encoder_half.py:104-162``: one 32-bit half2 load
+    per corner).
+
+    Args:
+        table: (2, n_entries) bfloat16.
+        idx: (..., ) int32 row indices.
+    Returns:
+        (f0, f1): float32 arrays of idx's shape — the widened channels.
+    """
+    lo = jax.lax.bitcast_convert_type(table[0], jnp.uint16).astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(table[1], jnp.uint16).astype(jnp.uint32)
+    packed = lo | (hi << jnp.uint32(16))
+    g = jnp.take(packed, idx, axis=0)
+    f0 = jax.lax.bitcast_convert_type(g << jnp.uint32(16), jnp.float32)
+    f1 = jax.lax.bitcast_convert_type(
+        g & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return f0, f1
+
+
+def _gather_pair_fwd(table, idx):
+    return _gather_pair_bf16(table, idx), (idx, table.shape[1])
+
+
+def _gather_pair_bwd(res, dout):
+    idx, n = res
+    df0, df1 = dout
+    flat = idx.reshape(-1)
+    # accumulate in f32 (the cast to the table's bf16 dtype happens once,
+    # after the adds — the reference's fp16 atomics accumulate at storage
+    # width; f32 here is strictly tighter)
+    d0 = jnp.zeros((n,), jnp.float32).at[flat].add(df0.reshape(-1))
+    d1 = jnp.zeros((n,), jnp.float32).at[flat].add(df1.reshape(-1))
+    return jnp.stack([d0, d1]).astype(jnp.bfloat16), None
+
+
+_gather_pair_bf16.defvjp(_gather_pair_fwd, _gather_pair_bwd)
+
+
 def _fast_hash(coords: jnp.ndarray) -> jnp.ndarray:
     """XOR-multiply spatial hash (reference: hash_encoder.py:43-51)."""
     result = coords[..., 0] * jnp.uint32(_PRIMES[0])
@@ -203,13 +255,19 @@ def hash_encode(
     h = jnp.where(use_under, h_under, h_fast)
     idx = (h % map_sizes).astype(jnp.int32) + offsets  # (M, C)
 
-    # one flat gather per feature channel + one matmul corner-reduce
+    # one flat gather per feature channel + one matmul corner-reduce;
+    # bf16 tables with the flagship F=2 take the packed-pair path — one
+    # u32 gather per slot instead of two bf16 gathers (same bytes, half
+    # the issue slots; forward bit-identical to the per-channel gathers)
+    if table.dtype == jnp.bfloat16 and F == 2:
+        chans = _gather_pair_bf16(table, idx)  # 2 x (M, C) f32
+    else:
+        chans = [jnp.take(table[f], idx, axis=0) for f in range(F)]
     outs = []
     for f in range(F):
-        g = jnp.take(table[f], idx, axis=0)  # (M, C)
         outs.append(
             jnp.dot(
-                w * g,
+                w * chans[f],
                 sel,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,

