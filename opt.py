@@ -91,6 +91,14 @@ def get_opts(prefix_args=None):
                         choices=["hash", "triplane", "brick"],
                         help="which encoder to use (brick = TPU-native "
                         "row-gather layout, fastest on TPU)")
+    parser.add_argument("--brick_shape", type=str, default="8x4",
+                        help="brick-encoder ladder as LEVELSxF, e.g. 8x4 "
+                             "(default, the recorded parity layout) or "
+                             "4x8 (half the gather/scatter rows, +37%% "
+                             "rays/s, -0.65 dB at equal steps — the "
+                             "measured trade in docs/parity_trade_r5"
+                             ".json; pair with --half_opt for 128 B "
+                             "rows)")
     parser.add_argument("--sh_degree", type=int, default=2,
                         help="degree of spherical harmonics (svox)")
     parser.add_argument("--grid_size", type=int, default=256,
@@ -206,6 +214,8 @@ def config_from_opts(hparams):
         brick=_dc.replace(
             cfg.model.brick,
             table_dtype="bfloat16" if hparams.half_opt else "float32",
+            levels=int(hparams.brick_shape.split("x")[0]),
+            feature_per_level=int(hparams.brick_shape.split("x")[1]),
         ),
         voxel_grid_size=hparams.grid_size,
         voxel_radius=hparams.grid_radius,
